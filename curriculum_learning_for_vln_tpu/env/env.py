@@ -1,0 +1,176 @@
+"""Pure-functional batched navigation environment (jit/scan/vmap-safe).
+
+The reference environment crosses the Python/C++ boundary per sample per
+step (`tasks/R2R-judy/src/environ/common_env.py:91-110`, one MatterSim per
+batch slot, `common_env.py:58-61`) and rebuilds candidate features on the
+host (`common_env.py:225-297`).  Here the environment is three pure
+functions over packed ``WorldTables``:
+
+    reset(world, episodes)        -> EnvState
+    observe(world, state)         -> Observation         (pure gathers)
+    step(world, state, action)    -> EnvState            (pure gathers)
+
+All arrays carry a leading batch dimension; everything is static-shape
+(candidates padded to MC slots + 1 STOP slot) so a full rollout is a
+single `lax.scan` and shards over a data-parallel mesh with zero host
+traffic.  Semantics parity notes are inline, keyed to reference lines.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..utils.angles import ANGLE_INC, make_angle_feat
+from ..world.compiler import WorldTables
+
+IGNORE_ID = -1  # matches BasicR2RAgent.ignore_id (ref: base.py:92)
+
+
+class EpisodeBatch(NamedTuple):
+    """Static-shape episode specs (one minibatch), device-resident."""
+
+    instr_tokens: jnp.ndarray    # [B, L] i32
+    instr_len: jnp.ndarray       # [B] i32
+    start_node: jnp.ndarray      # [B] i32 global node id
+    start_heading: jnp.ndarray   # [B] f32
+    goal: jnp.ndarray            # [B] i32 global node id
+    goal_local: jnp.ndarray      # [B] i32 scan-local goal index
+    item_idx: jnp.ndarray        # [B] i32 dataset index (curriculum bookkeeping)
+    valid: jnp.ndarray           # [B] bool (False = padding slot in tail batches)
+
+
+class EnvState(NamedTuple):
+    node: jnp.ndarray        # [B] i32
+    view_idx: jnp.ndarray    # [B] i32 (0..35)
+    heading: jnp.ndarray     # [B] f32 discretized
+    elevation: jnp.ndarray   # [B] f32 discretized
+    goal: jnp.ndarray        # [B] i32
+    goal_local: jnp.ndarray  # [B] i32
+    ended: jnp.ndarray       # [B] bool
+
+
+class Observation(NamedTuple):
+    pano_feat: jnp.ndarray   # [B, 36, D+128]  view features + loc embedding
+    cand_feat: jnp.ndarray   # [B, MC+1, D+128]  candidate features; STOP slot zeros
+    cand_mask: jnp.ndarray   # [B, MC+1] bool, True = mask out (beyond stop slot)
+    n_cands: jnp.ndarray     # [B] i32  (STOP action index)
+    teacher: jnp.ndarray     # [B] i32  teacher action index; IGNORE_ID when ended
+    dist: jnp.ndarray        # [B] f32  geodesic distance to goal
+    heading: jnp.ndarray     # [B] f32
+    elevation: jnp.ndarray   # [B] f32
+
+
+def reset(world: WorldTables, ep: EpisodeBatch) -> EnvState:
+    """Start episodes: heading snapped to the 30-degree grid, elevation 0
+    (MatterSim discretized-viewing-angles init; ref: common_env.py:66-70)."""
+    h_idx = jnp.mod(jnp.round(ep.start_heading / ANGLE_INC).astype(jnp.int32), 12)
+    view_idx = 12 + h_idx
+    return EnvState(
+        node=ep.start_node,
+        view_idx=view_idx,
+        heading=h_idx.astype(jnp.float32) * ANGLE_INC,
+        elevation=jnp.zeros_like(ep.start_heading),
+        goal=ep.goal,
+        goal_local=ep.goal_local,
+        ended=jnp.logical_not(ep.valid),  # padding slots are born ended
+    )
+
+
+def observe(world: WorldTables, state: EnvState, compute_dtype=jnp.float32) -> Observation:
+    """Build the full observation with pure gathers.
+
+    Parity map (all against the reference):
+    * pano_feat  = features ++ loc-embedding-for-current-view
+                   (common_env.py:309, misc.py:316-317)
+    * candidate features = per-candidate view feature ++ angle feature of
+      (normalized_heading - base_heading, loc_elevation)
+                   (common_env.py:281-296 buffered-reuse path)
+    * teacher    = index of the candidate whose next viewpoint is the next
+      node on the shortest path, else the STOP index (base.py:159-178)
+    * dist       = geodesic distance to goal (common_env.py:329)
+    """
+    node = state.node
+    feats = world.features[node].astype(compute_dtype)            # [B, 36, D]
+    loc_emb = world.loc_embed[state.view_idx].astype(compute_dtype)  # [B, 36, 128]
+    pano = jnp.concatenate([feats, loc_emb], axis=-1)
+
+    c_next = world.cand_next[node]         # [B, MC]
+    c_valid = world.cand_valid[node]
+    c_view = world.cand_view[node]
+    n = world.n_cands[node]                # [B]
+
+    base_heading = (state.view_idx % 12).astype(jnp.float32) * ANGLE_INC
+    rel_h = world.cand_heading[node] - base_heading[:, None]
+    elev = world.cand_elev[node]
+    angle = make_angle_feat(rel_h, elev).astype(compute_dtype)    # [B, MC, 128]
+
+    cand_img = jnp.take_along_axis(feats, c_view[:, :, None], axis=1)  # [B, MC, D]
+    cand_core = jnp.concatenate([cand_img, angle], axis=-1)
+    cand_core = jnp.where(c_valid[:, :, None], cand_core, 0.0)
+    B, MC, F = cand_core.shape
+    stop_slot = jnp.zeros((B, 1, F), dtype=cand_core.dtype)       # STOP feature = 0 (base.py:151-153)
+    cand_feat = jnp.concatenate([cand_core, stop_slot], axis=1)   # [B, MC+1, F]
+
+    slot = jnp.arange(MC + 1, dtype=jnp.int32)[None, :]
+    cand_mask = slot > n[:, None]                                  # mask j >= n_cands+1 (length2mask semantics)
+
+    teacher_next = jnp.take_along_axis(world.next_hop[node], state.goal_local[:, None], axis=1)[:, 0]
+    match = (c_next == teacher_next[:, None]) & c_valid
+    teacher_move = jnp.argmax(match, axis=1).astype(jnp.int32)
+    stay = teacher_next == node
+    teacher = jnp.where(stay, n, teacher_move)
+    teacher = jnp.where(state.ended, IGNORE_ID, teacher)
+
+    dist = jnp.take_along_axis(world.dist[node], state.goal_local[:, None], axis=1)[:, 0]
+
+    return Observation(
+        pano_feat=pano,
+        cand_feat=cand_feat,
+        cand_mask=cand_mask,
+        n_cands=n,
+        teacher=teacher,
+        dist=dist,
+        heading=state.heading,
+        elevation=state.elevation,
+    )
+
+
+def step(world: WorldTables, state: EnvState, action: jnp.ndarray) -> EnvState:
+    """Apply a panoramic action.
+
+    ``action`` in [0, MC] indexes candidate slots; the STOP index
+    (== n_cands), IGNORE_ID, or an already-ended episode leaves the agent
+    in place and marks it ended — exactly the reference's "-1 means
+    <end>" conversion (follower.py:141-146) plus makeActions' skip
+    (common_env.py:97-98).  Moving lands the agent at the candidate node
+    facing the candidate's view (misc.py:366-390 turn-then-forward)."""
+    node = state.node
+    n = world.n_cands[node]
+    is_stop = (action >= n) | (action < 0) | state.ended
+    a = jnp.clip(action, 0, world.max_candidates - 1)
+
+    next_node = jnp.take_along_axis(world.cand_next[node], a[:, None], axis=1)[:, 0]
+    next_view = jnp.take_along_axis(world.cand_view[node], a[:, None], axis=1)[:, 0]
+
+    move = jnp.logical_not(is_stop)
+    new_node = jnp.where(move, next_node, node)
+    new_view = jnp.where(move, next_view, state.view_idx)
+    new_heading = (new_view % 12).astype(jnp.float32) * ANGLE_INC
+    new_elev = (new_view // 12 - 1).astype(jnp.float32) * ANGLE_INC
+
+    return EnvState(
+        node=new_node,
+        view_idx=new_view,
+        heading=jnp.where(move, new_heading, state.heading),
+        elevation=jnp.where(move, new_elev, state.elevation),
+        goal=state.goal,
+        goal_local=state.goal_local,
+        ended=state.ended | is_stop,
+    )
+
+
+def action_is_stop(world: WorldTables, state: EnvState, action: jnp.ndarray) -> jnp.ndarray:
+    """Whether an action resolves to STOP for the current state (before step)."""
+    n = world.n_cands[state.node]
+    return (action >= n) | (action < 0) | state.ended

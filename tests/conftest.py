@@ -1,0 +1,58 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Must run before jax initializes its backends, hence env vars at import
+time.  All multi-chip sharding tests rely on these 8 virtual devices.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# jax may already be imported (and platform captured) by a site hook that
+# registers an experimental TPU-tunnel backend; force CPU regardless.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def synth_world():
+    """Small compiled synthetic world with features, shared per session."""
+    from curriculum_learning_for_vln_tpu.world import synthetic, compiler
+
+    graphs = synthetic.make_world_graphs(num_scans=3, nodes_per_scan=24, seed=7)
+    world = compiler.compile_world(graphs, max_candidates=16, use_native=False)
+    compiler.attach_synthetic_features(world, feature_dim=64)
+    return world
+
+
+@pytest.fixture(scope="session")
+def synth_graphs():
+    from curriculum_learning_for_vln_tpu.world import synthetic
+
+    return synthetic.make_world_graphs(num_scans=3, nodes_per_scan=24, seed=7)
+
+
+@pytest.fixture(scope="session")
+def synth_dataset(synth_graphs):
+    from curriculum_learning_for_vln_tpu.world import synthetic
+
+    return synthetic.make_r2r_dataset(synth_graphs, num_paths=40, seed=3)
+
+
+@pytest.fixture(scope="session")
+def tokenizer(synth_dataset):
+    from curriculum_learning_for_vln_tpu.utils.tokenizer import Tokenizer, build_vocab
+
+    vocab = build_vocab(synth_dataset, min_count=1)
+    return Tokenizer(vocab, encoding_length=24)
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(0)

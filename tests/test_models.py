@@ -1,0 +1,168 @@
+"""Numerical parity of model building blocks against torch-CPU references.
+
+These tests pin the packed-LSTM/BN/CE semantics the reference relies on
+(ref: units.py:48-74 packed BiLSTM; units.py:222-228 BatchNorm MLP;
+follower.py:62-63 CrossEntropyLoss(ignore_index=-1)).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from curriculum_learning_for_vln_tpu.models import core
+from curriculum_learning_for_vln_tpu.models.encoder import encoder_apply, encoder_init
+from curriculum_learning_for_vln_tpu.models import decoders as D
+
+
+def test_lstm_cell_matches_torch(rng):
+    B, Din, H = 4, 10, 8
+    x = rng.standard_normal((B, Din)).astype(np.float32)
+    h = rng.standard_normal((B, H)).astype(np.float32)
+    c = rng.standard_normal((B, H)).astype(np.float32)
+
+    cell = torch.nn.LSTMCell(Din, H)
+    with torch.no_grad():
+        h_t, c_t = cell(torch.tensor(x), (torch.tensor(h), torch.tensor(c)))
+
+    p = {
+        "w_ih": jnp.asarray(cell.weight_ih.detach().numpy().T),
+        "w_hh": jnp.asarray(cell.weight_hh.detach().numpy().T),
+        "b_ih": jnp.asarray(cell.bias_ih.detach().numpy()),
+        "b_hh": jnp.asarray(cell.bias_hh.detach().numpy()),
+    }
+    h_j, c_j = core.lstm_cell(p, jnp.asarray(x), jnp.asarray(h), jnp.asarray(c))
+    assert np.allclose(np.asarray(h_j), h_t.numpy(), atol=1e-5)
+    assert np.allclose(np.asarray(c_j), c_t.numpy(), atol=1e-5)
+
+
+@pytest.mark.parametrize("bidirectional", [False, True])
+def test_masked_lstm_matches_torch_packed(rng, bidirectional):
+    B, L, Din, H = 3, 7, 6, 5
+    x = rng.standard_normal((B, L, Din)).astype(np.float32)
+    lengths = np.array([7, 4, 2])
+
+    lstm = torch.nn.LSTM(Din, H, batch_first=True, bidirectional=bidirectional)
+    packed = torch.nn.utils.rnn.pack_padded_sequence(
+        torch.tensor(x), torch.tensor(lengths), batch_first=True, enforce_sorted=True
+    )
+    with torch.no_grad():
+        packed_out, (h_n, c_n) = lstm(packed)
+    out_t, _ = torch.nn.utils.rnn.pad_packed_sequence(packed_out, batch_first=True, total_length=L)
+
+    def cell_params(suffix):
+        return {
+            "w_ih": jnp.asarray(getattr(lstm, f"weight_ih_l0{suffix}").detach().numpy().T),
+            "w_hh": jnp.asarray(getattr(lstm, f"weight_hh_l0{suffix}").detach().numpy().T),
+            "b_ih": jnp.asarray(getattr(lstm, f"bias_ih_l0{suffix}").detach().numpy()),
+            "b_hh": jnp.asarray(getattr(lstm, f"bias_hh_l0{suffix}").detach().numpy()),
+        }
+
+    p_fwd = cell_params("")
+    p_bwd = cell_params("_reverse") if bidirectional else None
+    out_j, (h_j, c_j) = core.bilstm_layer(p_fwd, p_bwd, jnp.asarray(x), jnp.asarray(lengths))
+
+    assert np.allclose(np.asarray(out_j), out_t.numpy(), atol=1e-5)
+    if bidirectional:
+        h_ref = torch.cat([h_n[-2], h_n[-1]], dim=1).numpy()
+        c_ref = torch.cat([c_n[-2], c_n[-1]], dim=1).numpy()
+    else:
+        h_ref, c_ref = h_n[-1].numpy(), c_n[-1].numpy()
+    assert np.allclose(np.asarray(h_j), h_ref, atol=1e-5)
+    assert np.allclose(np.asarray(c_j), c_ref, atol=1e-5)
+
+
+def test_batchnorm_matches_torch(rng):
+    Dim, B = 6, 12
+    x = rng.standard_normal((B, Dim)).astype(np.float32)
+    bn = torch.nn.BatchNorm1d(Dim)
+    bn.train()
+    with torch.no_grad():
+        y_t = bn(torch.tensor(x))
+    params, state = core.batchnorm_init(Dim)
+    y_j, new_state = core.batchnorm(params, state, jnp.asarray(x), train=True)
+    assert np.allclose(np.asarray(y_j), y_t.numpy(), atol=1e-4)
+    assert np.allclose(np.asarray(new_state["mean"]), bn.running_mean.numpy(), atol=1e-5)
+    assert np.allclose(np.asarray(new_state["var"]), bn.running_var.numpy(), atol=1e-4)
+
+    bn.eval()
+    with torch.no_grad():
+        y_te = bn(torch.tensor(x))
+    y_je, _ = core.batchnorm(params, new_state, jnp.asarray(x), train=False)
+    assert np.allclose(np.asarray(y_je), y_te.numpy(), atol=1e-4)
+
+
+def test_cross_entropy_ignore_index(rng):
+    B, K = 6, 5
+    logits = rng.standard_normal((B, K)).astype(np.float32)
+    targets = np.array([0, 2, -1, 4, -1, 1])
+    ce = torch.nn.CrossEntropyLoss(ignore_index=-1, reduction="none")
+    ref = ce(torch.tensor(logits), torch.tensor(targets)).numpy()
+    got = core.cross_entropy_per_sample(jnp.asarray(logits), jnp.asarray(targets))
+    assert np.allclose(np.asarray(got), ref, atol=1e-5)
+
+
+def test_encoder_shapes_and_determinism():
+    key = jax.random.PRNGKey(0)
+    p = encoder_init(key, vocab_size=50, embed_size=16, hidden_size=32,
+                     padding_idx=0, bidirectional=True, num_layers=2)
+    tokens = jnp.array([[3, 4, 5, 2, 0, 0], [3, 7, 2, 0, 0, 0]])
+    lengths = jnp.array([4, 3])
+    ctx, h0, c0 = encoder_apply(p, tokens, lengths, jax.random.PRNGKey(1), train=False)
+    assert ctx.shape == (2, 6, 32)
+    assert h0.shape == (2, 32) and c0.shape == (2, 32)
+    # padded positions produce zero ctx in eval mode
+    assert np.allclose(np.asarray(ctx[0, 4:]), 0.0)
+    ctx2, _, _ = encoder_apply(p, tokens, lengths, jax.random.PRNGKey(9), train=False)
+    assert np.allclose(np.asarray(ctx), np.asarray(ctx2))  # eval = deterministic
+
+
+def test_decoder_steps_shapes():
+    key = jax.random.PRNGKey(0)
+    B, K, Fdim, H, L = 2, 5, 64 + 128, 32, 6
+    pano = jnp.ones((B, 36, Fdim))
+    cands = jnp.ones((B, K, Fdim))
+    h = jnp.zeros((B, H))
+    c = jnp.zeros((B, H))
+    ctx = jnp.ones((B, L, H))
+    ctx_mask = jnp.zeros((B, L), dtype=bool)
+    rng = jax.random.PRNGKey(1)
+
+    fp = D.follower_decoder_init(key, H, Fdim, Fdim)
+    logits, (h1, c1), _ = D.follower_decoder_step(fp, pano, jnp.ones((B, Fdim)), cands,
+                                                  h, c, ctx, ctx_mask, rng, train=True)
+    assert logits.shape == (B, K)
+
+    mp, ms = D.monitor_decoder_init(key, H, max_enc_len=L, mlp_dims=(16,), action_embed_size=Fdim)
+    cand_mask = jnp.zeros((B, K), dtype=bool)
+    (lg, prog), (h1, c1), ms2, _ = D.monitor_decoder_step(
+        mp, ms, jnp.ones((B, Fdim)), cands, cand_mask, h, c, ctx, ctx_mask, rng, train=True)
+    assert lg.shape == (B, K) and prog.shape == (B,)
+    assert np.all(np.abs(np.asarray(prog)) <= 1.0)
+
+    ep = D.envdrop_decoder_init(key, H, action_embed_size=8, angle_feat_size=128, feature_size=Fdim)
+    lg, (h1, c1), h_tilde = D.envdrop_decoder_step(
+        ep, jnp.ones((B, 128)), pano, cands, h, h, c, ctx, ctx_mask, rng, train=True)
+    assert lg.shape == (B, K) and h_tilde.shape == (B, H)
+
+    cp = D.critic_init(key, H)
+    v = D.critic_apply(cp, h, rng, train=True)
+    assert v.shape == (B,)
+
+
+def test_pallas_lstm_interpret_matches_xla(rng):
+    from curriculum_learning_for_vln_tpu.ops.pallas.lstm import lstm_cell_pallas
+    from curriculum_learning_for_vln_tpu.ops.rnn import lstm_cell_xla
+
+    B, Din, H = 8, 32, 256
+    x = jnp.asarray(rng.standard_normal((B, Din)).astype(np.float32))
+    h = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32))
+    c = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32))
+    w_ih = jnp.asarray(rng.standard_normal((Din, 4 * H)).astype(np.float32) * 0.1)
+    w_hh = jnp.asarray(rng.standard_normal((H, 4 * H)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal((4 * H,)).astype(np.float32) * 0.1)
+
+    h_ref, c_ref = lstm_cell_xla(x, h, c, w_ih, w_hh, b)
+    h_p, c_p = lstm_cell_pallas(x, h, c, w_ih, w_hh, b, interpret=True)
+    assert np.allclose(np.asarray(h_p), np.asarray(h_ref), atol=1e-5)
+    assert np.allclose(np.asarray(c_p), np.asarray(c_ref), atol=1e-5)

@@ -1,0 +1,254 @@
+"""Shared rollout machinery for all navigation agents.
+
+The reference drives every agent's episode with a host Python loop over
+time steps, crossing into C++ per sample per step (e.g.
+`tasks/R2R-judy/src/agent/follower.py:107-168`).  Here the whole rollout
+is one `lax.scan`: the model-specific decoder step is injected as a
+callback and everything else — observation gathers, feedback-mode action
+selection, stop conversion, reward shaping, trajectory recording, ended
+masking — is shared and traced once.
+
+Per-step records mirror exactly what the reference losses consume:
+per-sample CE vectors, log-probs/entropies of sampled actions, reward and
+alive masks for A2C, hidden states for the critic, and node ids for
+trajectory assembly.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..env import env as E
+from ..env.env import EnvState, EpisodeBatch, Observation
+from ..models.attention import NEG_INF
+from ..world.compiler import WorldTables
+
+FEEDBACK_TEACHER = 0
+FEEDBACK_ARGMAX = 1
+FEEDBACK_SAMPLE = 2
+
+NEG_INF_SAFE = NEG_INF  # re-export for agents
+
+FEEDBACK_IDS = {"teacher": FEEDBACK_TEACHER, "argmax": FEEDBACK_ARGMAX, "sample": FEEDBACK_SAMPLE}
+
+
+class StepRecord(NamedTuple):
+    """Stacked [T, ...] outputs of the rollout scan."""
+
+    node_after: jnp.ndarray     # [T, B] node after this step's action
+    view_after: jnp.ndarray     # [T, B]
+    moved: jnp.ndarray          # [T, B] bool — a real move happened
+    alive_before: jnp.ndarray   # [T, B] bool — episode alive when acting (masks_t)
+    ce: jnp.ndarray             # [T, B] per-sample CE vs teacher (0 where ignored)
+    ce_count: jnp.ndarray       # [T] number of non-ignored samples
+    log_prob: jnp.ndarray       # [T, B] log pi(a_t) (sample/argmax feedback)
+    entropy: jnp.ndarray        # [T, B] policy entropy
+    hidden: jnp.ndarray         # [T, B, H] decoder h_t (critic input)
+    reward: jnp.ndarray         # [T, B] shaped reward (EnvDrop formula)
+    dist_after: jnp.ndarray     # [T, B] distance-to-goal after the action
+    teacher: jnp.ndarray        # [T, B] teacher action index (IGNORE when ended)
+    action: jnp.ndarray         # [T, B] chosen action index
+    progress: jnp.ndarray       # [T, B] progress-monitor prediction (0 if n/a)
+
+
+class RolloutResult(NamedTuple):
+    final_state: EnvState
+    start_node: jnp.ndarray     # [B]
+    start_view: jnp.ndarray     # [B]
+    steps: StepRecord
+    model_carry: tuple          # final model carry (bn state etc.)
+
+
+def select_action(
+    feedback: int,
+    masked_logits: jnp.ndarray,   # [B, K], invalid slots at NEG_INF
+    teacher: jnp.ndarray,         # [B]
+    rng,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (action, log_prob, entropy) for the configured feedback mode
+    (ref: follower.py:131-139, envdrop.py:182-195)."""
+    logp = jax.nn.log_softmax(masked_logits, axis=-1)
+    probs = jnp.exp(logp)
+    entropy = -jnp.sum(probs * jnp.where(probs > 0, logp, 0.0), axis=-1)
+
+    if feedback == FEEDBACK_TEACHER:
+        action = teacher
+    elif feedback == FEEDBACK_ARGMAX:
+        action = jnp.argmax(masked_logits, axis=-1).astype(jnp.int32)
+    else:
+        action = jax.random.categorical(rng, masked_logits, axis=-1).astype(jnp.int32)
+
+    a_safe = jnp.clip(action, 0, masked_logits.shape[-1] - 1)
+    log_prob = jnp.take_along_axis(logp, a_safe[:, None], axis=-1)[:, 0]
+    return action, log_prob, entropy
+
+
+def shaped_reward(
+    is_stop: jnp.ndarray, dist_before: jnp.ndarray, dist_after: jnp.ndarray, alive: jnp.ndarray
+) -> jnp.ndarray:
+    """EnvDrop reward (ref: envdrop.py:209-212): +-2 terminal success bonus
+    on stop, sign of distance progress otherwise, masked to alive."""
+    stop_term = (2.0 * (dist_after < 3.0) - 1.0) * 2.0
+    move_term = jnp.sign(dist_before - dist_after)
+    r = jnp.where(is_stop, stop_term, move_term)
+    return r * alive.astype(r.dtype)
+
+
+# Model step callback signature:
+#   model_step(model_carry, obs, env_state, rng, t) -> (masked_logits, new_carry, hidden, progress)
+# Optional post-action callback (e.g. a_t_prev feature update):
+#   model_post(model_carry, obs, action) -> model_carry
+ModelStepFn = Callable
+
+
+def rollout_scan(
+    world: WorldTables,
+    ep: EpisodeBatch,
+    rng,
+    model_carry0: tuple,
+    model_step: ModelStepFn,
+    episode_len: int,
+    feedback: int,
+    model_post: Callable = None,
+) -> RolloutResult:
+    """Run a full episode rollout as one `lax.scan`.
+
+    The scan always runs ``episode_len`` steps; ended episodes are frozen
+    by the env semantics and masked in the records (the reference instead
+    breaks out of its Python loop early, follower.py:168)."""
+    state0 = E.reset(world, ep)
+
+    def step(carry, t):
+        state, mc, rng = carry
+        rng, rng_model, rng_act = jax.random.split(rng, 3)
+
+        obs = E.observe(world, state)
+        masked_logits, mc, hidden, progress = model_step(mc, obs, state, rng_model, t)
+        masked_logits = jnp.where(obs.cand_mask, NEG_INF, masked_logits)
+
+        teacher = obs.teacher
+        ce = _ce_per_sample(masked_logits, teacher)
+        ce_count = jnp.sum((teacher != E.IGNORE_ID).astype(jnp.int32))
+
+        action, log_prob, entropy = select_action(feedback, masked_logits, teacher, rng_act)
+        if model_post is not None:
+            mc = model_post(mc, obs, action)
+
+        alive_before = jnp.logical_not(state.ended)
+        is_stop = E.action_is_stop(world, state, action)
+        new_state = E.step(world, state, action)
+        dist_before = obs.dist
+        dist_after = jnp.take_along_axis(
+            world.dist[new_state.node], state.goal_local[:, None], axis=1
+        )[:, 0]
+        reward = shaped_reward(is_stop, dist_before, dist_after, alive_before)
+        moved = jnp.logical_and(alive_before, jnp.logical_not(is_stop))
+
+        rec = StepRecord(
+            node_after=new_state.node,
+            view_after=new_state.view_idx,
+            moved=moved,
+            alive_before=alive_before,
+            ce=ce,
+            ce_count=ce_count,
+            log_prob=log_prob,
+            entropy=entropy,
+            hidden=hidden,
+            reward=reward,
+            dist_after=dist_after,
+            teacher=teacher,
+            action=action,
+            progress=progress,
+        )
+        return (new_state, mc, rng), rec
+
+    (final_state, mc, _), steps = jax.lax.scan(
+        step, (state0, model_carry0, rng), jnp.arange(episode_len)
+    )
+    return RolloutResult(
+        final_state=final_state,
+        start_node=state0.node,
+        start_view=state0.view_idx,
+        steps=steps,
+        model_carry=mc,
+    )
+
+
+def _ce_per_sample(masked_logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    logp = jax.nn.log_softmax(masked_logits, axis=-1)
+    tgt = jnp.clip(targets, 0, masked_logits.shape[-1] - 1)
+    picked = jnp.take_along_axis(logp, tgt[:, None], axis=-1)[:, 0]
+    return jnp.where(targets == E.IGNORE_ID, 0.0, -picked)
+
+
+def ml_loss_mean_over_alive(steps: StepRecord) -> jnp.ndarray:
+    """Reference CrossEntropyLoss(reduction='mean', ignore_index) summed
+    over time: per step, mean over non-ignored samples (0 when none)."""
+    denom = jnp.maximum(steps.ce_count, 1).astype(jnp.float32)
+    return jnp.sum(jnp.sum(steps.ce, axis=1) / denom)
+
+
+def ml_loss_per_sample(steps: StepRecord) -> jnp.ndarray:
+    """Per-sample CE summed over time — the SPCL/train_cl loss vector
+    (ref: follower.py:104,128)."""
+    return jnp.sum(steps.ce, axis=0)
+
+
+def ml_loss_sum(steps: StepRecord) -> jnp.ndarray:
+    """EnvDrop's summed CE (ref: envdrop.py:179)."""
+    return jnp.sum(steps.ce)
+
+
+def gather_prev_action_feature(obs: Observation, action: jnp.ndarray) -> jnp.ndarray:
+    """a_t_prev = feature of the chosen candidate (zeros for STOP slot;
+    ref: follower.py:164)."""
+    a = jnp.clip(action, 0, obs.cand_feat.shape[1] - 1)
+    return jnp.take_along_axis(obs.cand_feat, a[:, None, None], axis=1)[:, 0, :]
+
+
+# ---------------------------------------------------------------------------
+# Host-side trajectory assembly
+# ---------------------------------------------------------------------------
+
+def assemble_trajectories(world_host, ep: EpisodeBatch, result: RolloutResult, data):
+    """Build reference-format result dicts from stacked device outputs.
+
+    Output trajectory format matches Evaluation's expectation
+    (ref: evaluator.py:12-18): [(viewpointId, heading_rads, elevation_rads)].
+    Only actual moves append entries (ref: common_env.py:108-110)."""
+    import numpy as np
+
+    from ..utils.angles import ANGLE_INC
+
+    nodes = np.asarray(result.steps.node_after)       # [T, B]
+    views = np.asarray(result.steps.view_after)
+    moved = np.asarray(result.steps.moved)
+    start_nodes = np.asarray(result.start_node)
+    start_views = np.asarray(result.start_view)
+    item_idx = np.asarray(ep.item_idx)
+    valid = np.asarray(ep.valid)
+
+    T, B = nodes.shape
+    results = []
+    for b in range(B):
+        if not valid[b]:
+            continue
+        item = data[int(item_idx[b])]
+        sv = int(start_views[b])
+        path = [(
+            world_host.viewpoint_of(int(start_nodes[b])),
+            (sv % 12) * ANGLE_INC,
+            (sv // 12 - 1) * ANGLE_INC,
+        )]
+        for t in range(T):
+            if moved[t, b]:
+                v = int(views[t, b])
+                path.append((
+                    world_host.viewpoint_of(int(nodes[t, b])),
+                    (v % 12) * ANGLE_INC,
+                    (v // 12 - 1) * ANGLE_INC,
+                ))
+        results.append({"instr_id": item["instr_id"], "trajectory": path})
+    return results

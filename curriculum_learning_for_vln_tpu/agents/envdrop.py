@@ -1,0 +1,198 @@
+"""EnvDrop agent (Tan et al. 2019): IL + A2C with environmental dropout.
+
+TPU-native rebuild of `tasks/R2R-judy/src/agent/envdrop.py:22-335`:
+EncoderLSTM + EnvDropDecoder + Critic.  The IL path is CE-vs-teacher
+summed over batch and time; the RL path is advantage actor-critic over
+the sampled rollout — discounted returns bootstrapped from one extra
+decoder step's value, 0.5 L2 critic loss, and a -0.01 entropy bonus, all
+masked by alive flags (ref: envdrop.py:222-264).  Back-translation
+support: a shared feature-noise mask can be applied in place of per-step
+environmental dropout (ref: envdrop.py:105-121, 155-157).
+
+The classic trainer runs both phases on the *same* minibatch per
+iteration (teacher-forced IL then sampled RL with ``restart=True``,
+ref: trainer.py:411-421); both phases here are pure function calls that
+the trainer fuses into one jitted update.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..env.env import EpisodeBatch
+from ..models import decoders as D
+from ..models.encoder import encoder_apply, encoder_init
+from ..utils.angles import make_angle_feat
+from ..utils.tokenizer import PAD_IDX
+from ..world.compiler import WorldTables
+from . import common as C
+
+
+class EnvDropLosses(NamedTuple):
+    ml_loss: jnp.ndarray              # scalar: summed CE * ML_WEIGHT / B (ref: envdrop.py:268)
+    ml_loss_per_sample: jnp.ndarray   # [B]: per-sample CE sums (SPCL)
+    rl_loss: jnp.ndarray              # scalar A2C loss (normalized per RL_NORMALIZE)
+    rl_loss_per_sample: jnp.ndarray   # [B]
+    entropy_sum: jnp.ndarray          # scalar log
+    critic_loss_sum: jnp.ndarray      # scalar log
+    total_actions: jnp.ndarray        # scalar log (sum of alive masks)
+
+
+class EnvDropAgent:
+    name = "ENVDROP"
+
+    def __init__(self, model_cfg, max_enc_len: int, vocab_size: int, feat_dim: int, episode_len: int):
+        self.cfg = model_cfg
+        self.max_enc_len = max_enc_len
+        self.vocab_size = vocab_size
+        self.img_feat_size = feat_dim
+        self.angle_feat_size = 128
+        self.feature_size = feat_dim + 128
+        self.episode_len = episode_len
+
+    def init(self, key) -> Tuple[dict, dict]:
+        k1, k2, k3 = jax.random.split(key, 3)
+        params = {
+            "encoder": encoder_init(
+                k1, self.vocab_size, self.cfg.WORD_EMB_SIZE, self.cfg.HIDDEN_SIZE,
+                padding_idx=PAD_IDX, bidirectional=self.cfg.ENC_BIDIRECTION,
+                num_layers=self.cfg.ENC_LAYERS,
+            ),
+            "decoder": D.envdrop_decoder_init(
+                k2, self.cfg.HIDDEN_SIZE, self.cfg.ACT_EMB_SIZE,
+                self.angle_feat_size, self.feature_size,
+            ),
+            "critic": D.critic_init(k3, self.cfg.HIDDEN_SIZE),
+        }
+        return params, {}
+
+    # ------------------------------------------------------------------
+    def rollout(
+        self,
+        params: dict,
+        model_state: dict,
+        world: WorldTables,
+        ep: EpisodeBatch,
+        rng,
+        feedback: int,
+        train: bool,
+        train_ml: bool = True,
+        train_rl: bool = False,
+        feat_mask: Optional[jnp.ndarray] = None,  # [D] shared noise (back-translation)
+    ) -> Tuple[EnvDropLosses, C.RolloutResult, dict]:
+        if feedback != C.FEEDBACK_SAMPLE:
+            train_rl = False  # (ref: envdrop.py:100)
+        drop = self.cfg.DROP_RATE
+        fdrop = self.cfg.FEAT_DROP_RATE
+        rng, rng_enc = jax.random.split(rng)
+        ctx_mask = ep.instr_tokens == PAD_IDX
+        ctx, h0, c0 = encoder_apply(
+            params["encoder"], ep.instr_tokens, ep.instr_len, rng_enc, train, drop
+        )
+        B = ep.instr_tokens.shape[0]
+        already_drop = feat_mask is not None
+
+        def apply_feat_mask(feat):
+            img, ang = feat[..., : -self.angle_feat_size], feat[..., -self.angle_feat_size:]
+            return jnp.concatenate([img * feat_mask, ang], axis=-1)
+
+        def decode(mc, obs, state, rng_t):
+            h, c, h_tilde = mc
+            a_t_angle = make_angle_feat(state.heading, state.elevation)
+            pano, cand = obs.pano_feat, obs.cand_feat
+            if already_drop:
+                pano, cand = apply_feat_mask(pano), apply_feat_mask(cand)
+            logits, (h1, c1), h_tilde_new = D.envdrop_decoder_step(
+                params["decoder"], a_t_angle, pano, cand, h_tilde, h, c,
+                ctx, ctx_mask, rng_t, train, drop, fdrop,
+                self.angle_feat_size, already_dropfeat=already_drop,
+            )
+            return logits, (h1, c1, h_tilde_new), h1
+
+        def model_step(mc, obs, state, rng_t, t):
+            logits, mc2, h1 = decode(mc, obs, state, rng_t)
+            return logits, mc2, h1, jnp.zeros(B)
+
+        # h_tilde initialized to the encoder's h (ref: envdrop.py:150)
+        result = C.rollout_scan(
+            world, ep, rng, (h0, c0, h0), model_step, self.episode_len, feedback
+        )
+        steps = result.steps
+
+        ml_sum = C.ml_loss_sum(steps)
+        ml_vec = C.ml_loss_per_sample(steps)
+
+        # ---------------- A2C tail (ref: envdrop.py:222-264) ----------------
+        if train_rl:
+            rng, rng_last, rng_crit = jax.random.split(rng, 3)
+            from ..env import env as E
+
+            last_obs = E.observe(world, result.final_state)
+            _, _, last_h = decode(result.model_carry, last_obs, result.final_state, rng_last)
+            last_value = jax.lax.stop_gradient(
+                D.critic_apply(params["critic"], last_h, rng_crit, train, drop)
+            )
+            not_ended = jnp.logical_not(result.final_state.ended).astype(jnp.float32)
+            gamma = self.cfg.GAMMA
+
+            T = steps.reward.shape[0]
+            crit_rngs = jax.random.split(jax.random.fold_in(rng, 7), T)
+
+            def a2c_step(carry, xs):
+                discount = carry
+                reward, mask_b, hidden, log_prob, entropy, rng_c = xs
+                mask = mask_b.astype(jnp.float32)
+                discount = discount * gamma + reward
+                r_ = jax.lax.stop_gradient(discount)
+                v_ = D.critic_apply(params["critic"], hidden, rng_c, train, drop)
+                a_ = jax.lax.stop_gradient(r_ - v_)
+                loss_vec = (-log_prob * a_ * mask) + 0.5 * ((r_ - v_) ** 2) * mask
+                if feedback == C.FEEDBACK_SAMPLE:
+                    loss_vec = loss_vec - 0.01 * entropy * mask
+                critic_l = jnp.sum(((r_ - v_) ** 2) * mask)
+                return discount, (loss_vec, critic_l, jnp.sum(mask))
+
+            xs = (
+                steps.reward[::-1],
+                steps.alive_before[::-1],
+                steps.hidden[::-1],
+                steps.log_prob[::-1],
+                steps.entropy[::-1],
+                crit_rngs,
+            )
+            _, (rl_vecs, critic_ls, mask_sums) = jax.lax.scan(a2c_step, not_ended * last_value, xs)
+            rl_vec = jnp.sum(rl_vecs, axis=0)
+            total = jnp.maximum(jnp.sum(mask_sums), 1.0)
+            if self.cfg.RL_NORMALIZE == "total":
+                rl_vec = rl_vec / total
+            elif self.cfg.RL_NORMALIZE == "batch":
+                rl_vec = rl_vec / B
+            rl_scalar = jnp.sum(rl_vec)
+            critic_loss_sum = jnp.sum(critic_ls)
+        else:
+            rl_vec = jnp.zeros(B)
+            rl_scalar = jnp.zeros(())
+            critic_loss_sum = jnp.zeros(())
+            total = jnp.sum(steps.alive_before)
+
+        ml_weight = self.cfg.ML_WEIGHT
+        losses = EnvDropLosses(
+            ml_loss=(ml_sum * ml_weight / B) if train_ml else jnp.zeros(()),
+            ml_loss_per_sample=(ml_vec * ml_weight / B) if train_ml else jnp.zeros(B),
+            rl_loss=rl_scalar if train_rl else jnp.zeros(()),
+            rl_loss_per_sample=rl_vec if train_rl else jnp.zeros(B),
+            entropy_sum=jnp.sum(steps.entropy * steps.alive_before),
+            critic_loss_sum=critic_loss_sum,
+            total_actions=jnp.asarray(total, jnp.float32),
+        )
+        return losses, result, model_state
+
+    def loss_fn(self, losses: EnvDropLosses, weights=None) -> jnp.ndarray:
+        """IL + RL objective; with SPCL weights, dot(w, per-sample) without
+        sum-normalization (ref: curriculum.py:294-296)."""
+        if weights is None:
+            return losses.ml_loss + losses.rl_loss
+        per_sample = losses.ml_loss_per_sample + losses.rl_loss_per_sample
+        return jnp.dot(weights, per_sample)

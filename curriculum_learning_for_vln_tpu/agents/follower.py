@@ -1,0 +1,103 @@
+"""Follower agent (Speaker-Follower, Fried et al. 2018).
+
+TPU-native rebuild of `tasks/R2R-judy/src/agent/follower.py:21-232`:
+EncoderLSTM + AttnDecoderLSTM with teacher/argmax/sample feedback and
+CE-vs-teacher imitation loss.  The whole rollout (encode -> T decoder
+steps -> losses) is a single traced program built on
+``common.rollout_scan``; per-sample loss vectors for SPCL come for free.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..env.env import EpisodeBatch
+from ..models import decoders as D
+from ..models.encoder import encoder_apply, encoder_init
+from ..utils.tokenizer import PAD_IDX
+from ..world.compiler import WorldTables
+from . import common as C
+
+
+class FollowerLosses(NamedTuple):
+    ml_loss: jnp.ndarray          # scalar — mean-over-alive CE summed over t
+    ml_loss_per_sample: jnp.ndarray  # [B] — SPCL variant
+
+
+class FollowerAgent:
+    name = "FOLLOWER"
+
+    def __init__(self, model_cfg, vocab_size: int, feat_dim: int, episode_len: int):
+        self.cfg = model_cfg
+        self.vocab_size = vocab_size
+        self.feature_size = feat_dim + 128
+        self.action_emb_size = self.feature_size
+        self.episode_len = episode_len
+
+    # -- params -----------------------------------------------------------
+    def init(self, key) -> Tuple[dict, dict]:
+        k1, k2 = jax.random.split(key)
+        params = {
+            "encoder": encoder_init(
+                k1, self.vocab_size, self.cfg.WORD_EMB_SIZE, self.cfg.HIDDEN_SIZE,
+                padding_idx=PAD_IDX, bidirectional=self.cfg.ENC_BIDIRECTION,
+                num_layers=self.cfg.ENC_LAYERS,
+            ),
+            "decoder": D.follower_decoder_init(
+                k2, self.cfg.HIDDEN_SIZE, self.action_emb_size, self.feature_size
+            ),
+        }
+        return params, {}  # no mutable model state
+
+    # -- rollout ----------------------------------------------------------
+    def rollout(
+        self,
+        params: dict,
+        model_state: dict,
+        world: WorldTables,
+        ep: EpisodeBatch,
+        rng,
+        feedback: int,
+        train: bool,
+    ) -> Tuple[FollowerLosses, C.RolloutResult, dict]:
+        drop = self.cfg.DROP_RATE
+        rng, rng_enc = jax.random.split(rng)
+        ctx_mask = ep.instr_tokens == PAD_IDX
+        ctx, h0, c0 = encoder_apply(
+            params["encoder"], ep.instr_tokens, ep.instr_len, rng_enc, train, drop
+        )
+
+        B = ep.instr_tokens.shape[0]
+        a_prev0 = jnp.zeros((B, self.action_emb_size))
+
+        def model_step(mc, obs, state, rng_t, t):
+            h, c, a_prev = mc
+            logits, (h1, c1), _ = D.follower_decoder_step(
+                params["decoder"], obs.pano_feat, a_prev, obs.cand_feat,
+                h, c, ctx, ctx_mask, rng_t, train, drop,
+            )
+            return logits, (h1, c1, a_prev), h1, jnp.zeros(B)
+
+        def model_post(mc, obs, action):
+            h, c, _ = mc
+            return (h, c, C.gather_prev_action_feature(obs, action))
+
+        result = C.rollout_scan(
+            world, ep, rng, (h0, c0, a_prev0), model_step,
+            self.episode_len, feedback, model_post=model_post,
+        )
+        losses = FollowerLosses(
+            ml_loss=C.ml_loss_mean_over_alive(result.steps),
+            ml_loss_per_sample=C.ml_loss_per_sample(result.steps),
+        )
+        return losses, result, model_state
+
+    # -- training loss ----------------------------------------------------
+    def loss_fn(self, losses: FollowerLosses, weights=None) -> jnp.ndarray:
+        """Scalar optimization objective.  With SPCL weights w: weighted
+        per-sample loss normalized by sum(w) (ref: curriculum.py:297-301)."""
+        if weights is None:
+            return losses.ml_loss
+        return jnp.dot(weights, losses.ml_loss_per_sample) / jnp.sum(weights)

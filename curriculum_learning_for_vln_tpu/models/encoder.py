@@ -34,9 +34,6 @@ def encoder_init(
         "embedding": embedding_init(keys[0], vocab_size, embed_size, padding_idx),
         "enc2dec": dense_init(keys[1], H * dirs, H * dirs, bias=True),
         "layers": [],
-        "bidirectional": bidirectional,
-        "num_layers": num_layers,
-        "hidden_per_dir": H,
     }
     in_dim = embed_size
     for layer in range(num_layers):

@@ -1,0 +1,246 @@
+"""Benchmark: batched R2R episode rollout throughput (steps/sec/chip).
+
+Headline metric (BASELINE.json): rollout steps/sec/chip for batched R2R
+episodes at the reference's EnvDrop configuration (batch 64, episode len
+35, 36x2048 features, hidden 512, 80-token instructions).
+
+Two measurements:
+* device rollout  — the TPU-native path: policy inference + env stepping
+  fused in one jitted lax.scan (argmax feedback, eval mode), plus the
+  full IL+RL training step for reference.
+* host-loop baseline — a faithful cost emulation of the reference
+  architecture's environment path (one C++ sim per batch slot stepped
+  sequentially from Python, per-sample candidate/feature packing in
+  numpy; ref: tasks/R2R-judy/src/environ/common_env.py:58-110,225-330),
+  with a zero-cost model (teacher actions).  This under-counts the
+  reference's true per-step cost (no torch forward/backward), so
+  ``vs_baseline`` is a conservative lower bound on the speedup.
+
+Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BATCH = 64
+EPISODE_LEN = 35
+ENC_LEN = 80
+FEAT_DIM = 2048
+HIDDEN = 512
+NUM_SCANS = 12
+NODES_PER_SCAN = 64
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_universe():
+    from curriculum_learning_for_vln_tpu.data.datasets import expand_r2r_items
+    from curriculum_learning_for_vln_tpu.env.host_env import R2RBatchEnv
+    from curriculum_learning_for_vln_tpu.utils.tokenizer import Tokenizer, build_vocab
+    from curriculum_learning_for_vln_tpu.world import compiler, synthetic
+
+    t0 = time.time()
+    graphs = synthetic.make_world_graphs(NUM_SCANS, NODES_PER_SCAN, seed=0)
+    world = compiler.compile_world(graphs, max_candidates=16)
+    compiler.attach_synthetic_features(world, feature_dim=FEAT_DIM)
+    items = synthetic.make_r2r_dataset(graphs, num_paths=512, seed=1, min_hops=4, max_hops=7)
+    tok = Tokenizer(build_vocab(items, min_count=1), encoding_length=ENC_LEN)
+    data = expand_r2r_items(items, tok)
+    henv = R2RBatchEnv(world, data, batch_size=BATCH, tokenizer=tok, seed=0)
+    log(f"universe: {world.num_nodes} nodes, {len(data)} episodes, built in {time.time()-t0:.1f}s")
+    return world, graphs, henv, tok
+
+
+def bench_device(world, henv, tok):
+    import jax
+
+    from curriculum_learning_for_vln_tpu.agents import EnvDropAgent
+    from curriculum_learning_for_vln_tpu.agents.common import FEEDBACK_ARGMAX
+    from curriculum_learning_for_vln_tpu.engine.loop import build_train_step, make_optimizer
+    from curriculum_learning_for_vln_tpu.utils.config import get_cfg_defaults
+
+    platform = jax.devices()[0].platform
+    log(f"device platform: {platform} ({jax.devices()[0]})")
+    precision = "bf16" if platform != "cpu" else "f32"
+    tables = world.device_tables(precision)
+
+    cfg = get_cfg_defaults()
+    m = cfg.MODEL.ENVDROP
+    m.WORD_EMB_SIZE = 256
+    m.ACT_EMB_SIZE = 64
+    m.HIDDEN_SIZE = HIDDEN
+    m.ENC_BIDIRECTION = True
+    m.ENC_LAYERS = 1
+    m.ML_WEIGHT = 0.2
+    m.GAMMA = 0.9
+    m.RL_NORMALIZE = "total"
+    agent = EnvDropAgent(m, max_enc_len=ENC_LEN, vocab_size=tok.vocab_size(),
+                         feat_dim=FEAT_DIM, episode_len=EPISODE_LEN)
+    params, mstate = agent.init(jax.random.PRNGKey(0))
+
+    # --- pure rollout (inference + env stepping) ---
+    @jax.jit
+    def rollout(params, ep, rng):
+        _, result, _ = agent.rollout(params, {}, tables, ep, rng,
+                                     feedback=FEEDBACK_ARGMAX, train=False)
+        return result.final_state.node
+
+    ep = henv.next_batch()
+    rng = jax.random.PRNGKey(1)
+    t0 = time.time()
+    jax.block_until_ready(rollout(params, ep, rng))
+    log(f"rollout compile: {time.time()-t0:.1f}s")
+    iters = 20
+    t0 = time.time()
+    for i in range(iters):
+        ep = henv.next_batch()
+        rng, r = jax.random.split(rng)
+        out = rollout(params, ep, r)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    rollout_sps = BATCH * EPISODE_LEN * iters / dt
+    log(f"device rollout: {rollout_sps:,.0f} steps/s  ({dt/iters*1000:.1f} ms / {BATCH}x{EPISODE_LEN} rollout)")
+
+    # --- full training step (IL teacher + RL sample + grads + update) ---
+    opt = make_optimizer("rms", 1e-4)
+    opt_state = opt.init(params)
+    step = build_train_step(agent, tables, opt, feedback="sample")
+    ep = henv.next_batch()
+    t0 = time.time()
+    params, opt_state, mstate, logs = step(params, opt_state, mstate, ep, jax.random.PRNGKey(2))
+    jax.block_until_ready(logs["loss"])
+    log(f"train-step compile: {time.time()-t0:.1f}s")
+    iters_t = 10
+    t0 = time.time()
+    for i in range(iters_t):
+        ep = henv.next_batch()
+        rng, r = jax.random.split(rng)
+        params, opt_state, mstate, logs = step(params, opt_state, mstate, ep, r)
+    jax.block_until_ready(logs["loss"])
+    dt_t = time.time() - t0
+    # each iteration rolls out twice (IL + RL) and runs fwd+bwd
+    train_sps = BATCH * EPISODE_LEN * 2 * iters_t / dt_t
+    log(f"train step: {dt_t/iters_t*1000:.1f} ms/iter -> {train_sps:,.0f} rollout-steps/s incl. grads")
+    return rollout_sps, train_sps
+
+
+def bench_host_baseline(world, graphs, henv):
+    """Reference-architecture env loop: per-sample C++ sim stepping +
+    numpy observation packing, teacher actions, zero-cost model."""
+    from curriculum_learning_for_vln_tpu.utils.angles import (ANGLE_INC, all_loc_embeddings,
+                                                              make_angle_feat_np)
+    from curriculum_learning_for_vln_tpu.world import native
+
+    if not native.native_available():
+        log("native graphworld unavailable; baseline uses pure-python sim")
+    loc_embeds = all_loc_embeddings()
+
+    # per-scan native worlds and feature store (like the reference's dicts)
+    nworlds = {s: native.NativeWorld(g) for s, g in graphs.items()} if native.native_available() else None
+    feat_store = {g: world.features[g] for g in range(world.num_nodes)}
+
+    idx = np.asarray(henv._next_indices())
+    scans = [world.scan_of(int(henv.start_node[i])) for i in idx]
+    sims = []
+    for b, i in enumerate(idx):
+        sim = native.GraphSim(nworlds[scans[b]])
+        start_local = int(world.node_local[henv.start_node[i]])
+        sim.new_episode(start_local, float(henv.start_heading[i]))
+        sims.append(sim)
+    goals = [int(henv.goal_local[i]) for i in idx]
+    offsets = {s: int(world.scan_offset[world.scan_ids.index(s)]) for s in set(scans)}
+
+    cand_cache = {}
+    ended = np.zeros(len(idx), dtype=bool)
+    total_steps = 0
+    t0 = time.time()
+    for t in range(EPISODE_LEN):
+        # observe: per-sample feature concat + candidate building (numpy)
+        feats = np.empty((len(idx), 36, FEAT_DIM + 128), np.float32)
+        actions = []
+        for b, sim in enumerate(sims):
+            st = sim.get_state()
+            g = offsets[scans[b]] + st["node"]
+            feats[b] = np.concatenate([feat_store[g], loc_embeds[st["viewIndex"]]], -1)
+            key = (scans[b], st["node"])
+            if key not in cand_cache:
+                n = int(world.n_cands[g])
+                cand_cache[key] = [
+                    (int(world.cand_next[g, j]) - offsets[scans[b]],
+                     float(world.cand_heading[g, j]), float(world.cand_elev[g, j]),
+                     int(world.cand_view[g, j])) for j in range(n)
+                ]
+            base_heading = (st["viewIndex"] % 12) * ANGLE_INC
+            cand_feats = [
+                np.concatenate([feat_store[g][v], make_angle_feat_np(h - base_heading, e)])
+                for (_, h, e, v) in cand_cache[key]
+            ]
+            # teacher action
+            teacher_next = int(world.next_hop[g, goals[b]]) - offsets[scans[b]]
+            a = -1
+            for j, (nxt, h, e, v) in enumerate(cand_cache[key]):
+                if nxt == teacher_next:
+                    a = j
+                    break
+            actions.append((a, cand_cache[key][a] if a >= 0 else None))
+        # step: turn-by-turn micro actions per sample (ref misc.py:366-390)
+        for b, sim in enumerate(sims):
+            if ended[b]:
+                continue
+            total_steps += 1
+            a, cand = actions[b]
+            if a < 0:
+                ended[b] = True
+                continue
+            st = sim.get_state()
+            target_view = cand[3]
+            dh = (target_view % 12) - (st["viewIndex"] % 12)
+            dh = (dh + 6) % 12 - 6
+            for _ in range(abs(dh)):
+                sim.make_action(0, np.sign(dh) * ANGLE_INC, 0)
+            de = target_view // 12 - st["viewIndex"] // 12
+            for _ in range(abs(de)):
+                sim.make_action(0, 0, np.sign(de) * ANGLE_INC)
+            nodes, rh, re = sim.navigable()
+            tgt = cand[0]
+            slot = int(np.where(nodes == tgt)[0][0])
+            sim.make_action(slot, 0, 0)
+        if ended.all():
+            break
+    dt = time.time() - t0
+    sps = total_steps / dt
+    log(f"host-loop baseline: {sps:,.0f} env steps/s ({total_steps} steps in {dt:.2f}s)")
+    return sps
+
+
+def main():
+    world, graphs, henv, tok = build_universe()
+    rollout_sps, train_sps = bench_device(world, henv, tok)
+    try:
+        baseline_sps = bench_host_baseline(world, graphs, henv)
+    except Exception as e:  # baseline must never sink the benchmark
+        log(f"baseline failed: {e}")
+        baseline_sps = None
+
+    vs = (rollout_sps / baseline_sps) if baseline_sps else float("nan")
+    print(json.dumps({
+        "metric": "rollout steps/sec/chip (batched R2R episodes, EnvDrop policy)",
+        "value": round(rollout_sps, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(vs, 2) if baseline_sps else None,
+        "detail": {
+            "train_steps_per_sec_incl_grads": round(train_sps, 1),
+            "host_loop_baseline_steps_per_sec": round(baseline_sps, 1) if baseline_sps else None,
+            "batch": BATCH, "episode_len": EPISODE_LEN,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,13 @@
+"""Training engines (ref: tasks/R2R-judy/src/engine/__init__.py)."""
+from .checkpoint import load_checkpoint, save_checkpoint
+from .curriculum import NaiveCurriculum, SelfPacedCurriculum, spcl_update_lambda, spcl_update_weight
+from .evaluator import Evaluation
+from .loop import build_eval_rollout, build_train_step, make_optimizer, run_eval
+from .trainer import ClassicTrainer, check_the_code, dedup_by_path
+
+__all__ = [
+    "ClassicTrainer", "NaiveCurriculum", "SelfPacedCurriculum", "Evaluation",
+    "check_the_code", "dedup_by_path", "build_train_step", "build_eval_rollout",
+    "make_optimizer", "run_eval", "save_checkpoint", "load_checkpoint",
+    "spcl_update_weight", "spcl_update_lambda",
+]

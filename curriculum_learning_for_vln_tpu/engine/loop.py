@@ -1,0 +1,160 @@
+"""Jitted train-step builders and the evaluation runner.
+
+One training iteration — rollout(s) + loss + grad + optimizer update —
+is a single compiled program per agent type.  For EnvDrop the reference's
+per-iteration *dual* rollout (teacher-forced IL then sampled RL on the
+same minibatch with one optimizer step over the summed loss,
+ref: tasks/R2R-judy/src/engine/trainer.py:411-427) is fused into that
+one program.  SPCL weighting enters as a per-sample weight vector input
+so the same compiled step serves classic and curriculum training.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..agents import FEEDBACK_ARGMAX, FEEDBACK_IDS, FEEDBACK_SAMPLE, FEEDBACK_TEACHER
+from ..agents.common import assemble_trajectories
+from ..world.compiler import WorldTables
+
+
+def make_optimizer(name: str, lr: float) -> optax.GradientTransformation:
+    """adam / rms / sgd with torch-default hyperparameters
+    (ref: trainer.py:17-21; torch RMSprop alpha=0.99 eps=1e-8)."""
+    if name == "rms":
+        return optax.rmsprop(lr, decay=0.99, eps=1e-8)
+    if name == "sgd":
+        return optax.sgd(lr)
+    return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+
+
+def clip_submodule_grads(grads: dict, keys, max_norm: float) -> dict:
+    """Per-submodule global-norm clipping, the reference's
+    clip_grad_norm(encoder)/clip_grad_norm(decoder) at 40
+    (ref: trainer.py:425-426; critic is NOT clipped)."""
+    out = dict(grads)
+    for key in keys:
+        leaves = jax.tree_util.tree_leaves(grads[key])
+        norm = jnp.sqrt(sum(jnp.sum(g.astype(jnp.float32) ** 2) for g in leaves))
+        scale = jnp.minimum(1.0, max_norm / (norm + 1e-6))
+        out[key] = jax.tree_util.tree_map(lambda g: g * scale, grads[key])
+    return out
+
+
+def build_train_step(
+    agent,
+    tables: WorldTables,
+    optimizer: optax.GradientTransformation,
+    feedback: str,
+    progmonitor_weight: float = 0.5,
+    weighted: bool = False,
+) -> Callable:
+    """Compiled training step: (params, opt_state, model_state, ep, rng[, w])
+    -> (params, opt_state, model_state, metrics).
+
+    ``w`` (present when ``weighted``) is the SPCL per-sample weight vector
+    gathered for this batch.  metrics includes the per-sample loss vector
+    the SPCL solver records (ref: curriculum.py:310-314).
+    """
+    fb = FEEDBACK_IDS[feedback]
+    name = agent.name
+
+    def step(params, opt_state, model_state, ep, rng, weights=None):
+        if name == "ENVDROP":
+            def loss_fn(p):
+                rng_il, rng_rl = jax.random.split(rng)
+                il, _, ms = agent.rollout(
+                    p, model_state, tables, ep, rng_il,
+                    feedback=FEEDBACK_TEACHER, train=True, train_ml=True, train_rl=False,
+                )
+                if fb == FEEDBACK_SAMPLE:
+                    rl, _, _ = agent.rollout(
+                        p, model_state, tables, ep, rng_rl,
+                        feedback=FEEDBACK_SAMPLE, train=True, train_ml=False, train_rl=True,
+                    )
+                else:
+                    rl = None
+                ml_vec = il.ml_loss_per_sample
+                rl_vec = rl.rl_loss_per_sample if rl is not None else jnp.zeros_like(ml_vec)
+                if weights is None:
+                    total = il.ml_loss + (rl.rl_loss if rl is not None else 0.0)
+                else:
+                    total = jnp.dot(weights, ml_vec + rl_vec)  # (ref: curriculum.py:294-296)
+                logs = {
+                    "loss": total,
+                    "ml_loss": il.ml_loss,
+                    "rl_loss": rl.rl_loss if rl is not None else jnp.zeros(()),
+                    # SPCL per-item record: ml vector * B (ref: curriculum.py:313)
+                    "loss_per_sample": ml_vec * ml_vec.shape[0],
+                    "entropy": (rl.entropy_sum if rl is not None else il.entropy_sum),
+                    "critic_loss": rl.critic_loss_sum if rl is not None else jnp.zeros(()),
+                    "total_actions": rl.total_actions if rl is not None else il.total_actions,
+                }
+                return total, (logs, ms)
+
+            (loss, (logs, ms)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            grads = clip_submodule_grads(grads, ("encoder", "decoder"), 40.0)
+        else:
+            def loss_fn(p):
+                kwargs = {}
+                if name == "SELF-MONITOR":
+                    kwargs["lamb"] = progmonitor_weight
+                losses, _, ms = agent.rollout(
+                    p, model_state, tables, ep, rng, feedback=fb, train=True, **kwargs
+                )
+                total = agent.loss_fn(losses, weights)
+                logs = {
+                    "loss": total,
+                    "ml_loss": losses.ml_loss,
+                    "loss_per_sample": losses.ml_loss_per_sample,
+                }
+                if name == "SELF-MONITOR":
+                    logs["progress_loss"] = losses.progress_loss
+                return total, (logs, ms)
+
+            (loss, (logs, ms)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, ms, logs
+
+    if weighted:
+        return jax.jit(step, donate_argnums=(0, 1))
+    return jax.jit(functools.partial(step, weights=None), donate_argnums=(0, 1))
+
+
+def build_eval_rollout(agent, tables: WorldTables) -> Callable:
+    """Compiled argmax eval rollout: (params, model_state, ep, rng) -> result."""
+
+    def roll(params, model_state, ep, rng):
+        _, result, _ = agent.rollout(
+            params, model_state, tables, ep, rng, feedback=FEEDBACK_ARGMAX, train=False
+        )
+        return result
+
+    return jax.jit(roll)
+
+
+def run_eval(
+    agent,
+    params,
+    model_state,
+    tables: WorldTables,
+    henv,
+    rng,
+    eval_rollout: Optional[Callable] = None,
+):
+    """Full-split evaluation with exact coverage (replaces the reference's
+    loop-until-instr_id-repeats, base.py:63-82)."""
+    if eval_rollout is None:
+        eval_rollout = build_eval_rollout(agent, tables)
+    results = []
+    for ep in henv.eval_batches():
+        rng, rng_b = jax.random.split(rng)
+        result = eval_rollout(params, model_state, ep, rng_b)
+        results += assemble_trajectories(henv.world, ep, result, henv.data)
+    return results

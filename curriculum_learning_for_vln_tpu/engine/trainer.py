@@ -1,0 +1,195 @@
+"""Classic (non-curriculum) training engine.
+
+Rebuild of `tasks/R2R-judy/src/engine/trainer.py`: per-epoch iteration
+loop, eval cadence on val_seen/val_unseen with argmax feedback, best-SR
+checkpointing per split with superseded-file cleanup, rotating "latest"
+checkpoint, scalar logging, optional per-round train-split evaluation —
+but with the reference's trainer trio (train_follower /
+train_selfmonitor / train_envdrop, trainer.py:46-518) collapsed into one
+engine since the agent differences live in the compiled train step
+(engine.loop).  Checkpoints additionally capture optimizer + RNG state
+(reference gap, SURVEY §5).
+"""
+from __future__ import annotations
+
+import logging
+import os
+import os.path as osp
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..agents.common import FEEDBACK_IDS
+from ..utils.logging_utils import ScalarWriter, clean_dir, prettyprint
+from .checkpoint import load_checkpoint, save_checkpoint
+from .evaluator import Evaluation
+from .loop import build_eval_rollout, build_train_step, make_optimizer, run_eval
+
+logger = logging.getLogger("main.train")
+
+
+def dedup_by_path(items):
+    seen, out = set(), []
+    for it in items:
+        if it["path_id"] not in seen:
+            seen.add(it["path_id"])
+            out.append(it)
+    return out
+
+
+def check_the_code(cfg, tables, valid_env) -> dict:
+    """Sanity check (ref: trainer.py:27-39): model-free teacher-following
+    through val_unseen, scored; near-perfect SR validates the plumbing."""
+    from ..agents import TestAgent
+
+    agent = TestAgent(episode_len=cfg.AGENT.MAX_EPISODE_LEN)
+    henv = valid_env["val_unseen"]
+    results = run_eval(agent, {}, {}, tables, henv, jax.random.PRNGKey(0))
+    evaluator = Evaluation(henv.world, dedup_by_path(henv.data))
+    summary, _ = evaluator.score(results)
+    prettyprint({"val_unseen": summary})
+    return summary
+
+
+class ClassicTrainer:
+    """Dispatch-free classic trainer (ref: engine/__init__.py:6-17)."""
+
+    def select_env(self, train_env, ep: int):
+        """Curriculum hook: which episode source to use this epoch."""
+        return train_env
+
+    def train(self, cfg, agent, tsboard_dir, train_env, valid_env,
+              eval_train: bool = False, eval_train_env: Optional[Dict] = None,
+              seed: int = 2020, max_iters_override: Optional[int] = None):
+        first_env = self.select_env(train_env, cfg.TRAIN.START_EPOCH)
+        tables = first_env.world.device_tables(cfg.TPU.PRECISION if hasattr(cfg, "TPU") else "f32")
+        train_cfg = cfg.TRAIN
+
+        time_str = time.strftime("%Y-%m%d-%H:%M", time.localtime())
+        writer = ScalarWriter(osp.join(tsboard_dir, time_str) if tsboard_dir else None)
+
+        rng = jax.random.PRNGKey(seed)
+        rng, init_rng = jax.random.split(rng)
+        params, model_state = agent.init(init_rng)
+        optimizer = make_optimizer(train_cfg.OPTIM, train_cfg.LR)
+        opt_state = optimizer.init(params)
+        start_epoch = train_cfg.START_EPOCH
+
+        ckpt_root = cfg.OUTPUT.CKPT_DIR or "snapshots/checkpoints"
+        if cfg.OUTPUT.RESUME:
+            ckpt_path = osp.join(ckpt_root, f"{cfg.OUTPUT.RESUME}.ckpt")
+            logger.info("Resuming %s from %s", cfg.MODEL.NAME, ckpt_path)
+            bundle = load_checkpoint(ckpt_path)
+            params = bundle["params"]
+            if bundle.get("opt_state") is not None:
+                opt_state = bundle["opt_state"]
+            if bundle.get("model_state") is not None:
+                model_state = bundle["model_state"]
+            if bundle.get("rng") is not None:
+                rng = jax.numpy.asarray(bundle["rng"])
+            start_epoch = bundle.get("epoch", 0) + 1
+
+        train_step = build_train_step(
+            agent, tables, optimizer, cfg.AGENT.FEEDBACK,
+            progmonitor_weight=train_cfg.PROGMONITOR_WEIGHT,
+        )
+        eval_rollout = build_eval_rollout(agent, tables)
+
+        valid_evaluator = {
+            key: Evaluation(env.world, dedup_by_path(env.data)) for key, env in valid_env.items()
+        }
+        best_val = {key: {"success_rate": 0.0} for key in valid_env}
+        train_evaluator = None
+        if eval_train:
+            assert eval_train_env is not None, "Please give the eval environment!"
+            train_evaluator = {
+                key: Evaluation(env.world, dedup_by_path(env.data), data_name="CLR2R")
+                for key, env in eval_train_env.items()
+            }
+
+        output_ckpt_dir = osp.join(ckpt_root, time_str)
+        os.makedirs(output_ckpt_dir, exist_ok=True)
+        logger.info("Checkpoints at %s", output_ckpt_dir)
+
+        start_time = last_time = time.time()
+        iters = max_iters_override or train_cfg.ITER_PER_EPOCH
+
+        for ep in range(start_epoch, train_cfg.MAX_EPOCH + 1):
+            epoch_env = self.select_env(train_env, ep)
+            epoch_losses = []
+            extra_logs = {"entropy": 0.0, "critic_loss": 0.0, "total_actions": 0.0, "progress_loss": 0.0}
+            for _ in range(iters):
+                batch = epoch_env.next_batch()
+                rng, rng_it = jax.random.split(rng)
+                params, opt_state, model_state, logs = train_step(
+                    params, opt_state, model_state, batch, rng_it
+                )
+                epoch_losses.append(float(logs["loss"]))
+                for k in extra_logs:
+                    if k in logs:
+                        extra_logs[k] += float(logs[k])
+
+            epoch_loss = sum(epoch_losses)
+            avg_iter = epoch_loss / len(epoch_losses)
+            writer.add_scalar("train/ml_epoch", epoch_loss, ep)
+            writer.add_scalar("train/ml_iter_avg", avg_iter, ep)
+            writer.add_scalar("train/ml_iter_max", max(epoch_losses), ep)
+            writer.add_scalar("train/ml_iter_min", min(epoch_losses), ep)
+            if agent.name == "SELF-MONITOR":
+                writer.add_scalar("train/progress_loss", extra_logs["progress_loss"], ep)
+            if agent.name == "ENVDROP":
+                total = max(extra_logs["total_actions"], 1.0)
+                writer.add_scalar("train/critic_loss", extra_logs["critic_loss"] / total, ep)
+                writer.add_scalar("train/policy_entropy", extra_logs["entropy"] / total, ep)
+                writer.add_scalar("train/total_actions", total, ep)
+
+            cost = (time.time() - last_time) / 60
+            remain = ((time.time() - start_time) / (60 * (ep + 1 - start_epoch))) * (train_cfg.MAX_EPOCH - ep)
+            msg = (f"Epoch [{ep}/{train_cfg.MAX_EPOCH}], {cost:.2f}min/ep, remaining {remain:.2f}min, "
+                   f"loss {epoch_loss:.4f} (avg {avg_iter:.4f})")
+            print(msg)
+            logger.info(msg)
+
+            if ep % train_cfg.EVAL_INTERVAL == 0 and eval_train and train_evaluator:
+                summary = {}
+                for key, env in eval_train_env.items():
+                    rng, rng_e = jax.random.split(rng)
+                    results = run_eval(agent, params, model_state, tables, env, rng_e, eval_rollout)
+                    scores, _ = train_evaluator[key].score(results)
+                    summary[key] = scores
+                    for mk in ("lengths", "steps", "nav_error", "oracle_error",
+                               "success_rate", "oracle_rate", "spl", "ndtw", "sdtw"):
+                        writer.add_scalar(f"eval_{key}/{mk}", scores[mk], ep)
+                prettyprint(summary)
+
+            if ep % train_cfg.EVAL_INTERVAL == 0:
+                summary = {}
+                for key, env in valid_env.items():
+                    rng, rng_e = jax.random.split(rng)
+                    results = run_eval(agent, params, model_state, tables, env, rng_e, eval_rollout)
+                    scores, _ = valid_evaluator[key].score(results)
+                    summary[key] = scores
+                    for mk in ("lengths", "steps", "nav_error", "oracle_error",
+                               "success_rate", "oracle_rate", "spl", "ndtw", "sdtw"):
+                        writer.add_scalar(f"{key}/{mk}", scores[mk], ep)
+                    if key in best_val and scores["success_rate"] > best_val[key]["success_rate"]:
+                        best_val[key]["success_rate"] = scores["success_rate"]
+                        path = osp.join(output_ckpt_dir, f"best_{key}_SR:{scores['success_rate']:.4f}.ckpt")
+                        clean_dir(output_ckpt_dir, clean_key=f"best_{key}")
+                        save_checkpoint(path, params, opt_state, model_state, rng, ep,
+                                        cfg_yaml=cfg.dump())
+                        logger.info("Saved best %s SR=%.4f -> %s", key, scores["success_rate"], path)
+                prettyprint(summary)
+
+            clean_dir(output_ckpt_dir, clean_key="latest_ep")
+            save_checkpoint(osp.join(output_ckpt_dir, f"latest_ep{ep}.ckpt"),
+                            params, opt_state, model_state, rng, ep, cfg_yaml=cfg.dump())
+            # stable "latest" for OUTPUT.RESUME=latest
+            save_checkpoint(osp.join(ckpt_root, "latest.ckpt"),
+                            params, opt_state, model_state, rng, ep, cfg_yaml=cfg.dump())
+            last_time = time.time()
+
+        writer.close()
+        return params, model_state, best_val

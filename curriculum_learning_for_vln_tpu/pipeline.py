@@ -1,0 +1,159 @@
+"""End-to-end data pipeline assembly: config -> world, tokenizer, envs.
+
+This is the counterpart of the reference's main.py setup section
+(`tasks/R2R-judy/main.py:15-87`): vocab bootstrap, tokenizer, feature
+loading, environment construction (classic / NAIVE cumulative rounds /
+SELF-PACE), and — new here — the world compilation step that turns
+connectivity graphs + features into packed device tables.
+
+Two world sources:
+* real: connectivity JSONs (cfg.DATA.CONNECTIVITY_DIR) + ResNet feature
+  TSV (cfg.DATA.IMG_FEAT_DIR), with an on-disk compiled-world cache;
+* synthetic (cfg.TPU.SYNTHETIC_WORLD): generated scans, episodes and
+  features so the full stack runs with zero external assets.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .data import datasets as DS
+from .data import features as FT
+from .env.host_env import CLR2RBatchEnv, R2RBatchEnv
+from .utils.tokenizer import Tokenizer, build_vocab, read_vocab, write_vocab
+from .world import compiler as WC
+from .world import synthetic as SYN
+from .world.graph import load_nav_graphs
+
+logger = logging.getLogger("main.pipeline")
+
+
+def setup_vocab(cfg, seed: int = 2020) -> None:
+    """Bootstrap vocab files if missing (ref: main.py:15-30)."""
+    if cfg.DATA.TRAIN_VOCAB and not os.path.exists(cfg.DATA.TRAIN_VOCAB):
+        data = DS.load_datasets(["train"], dataset="R2R", data_dir=cfg.DATA.DATA_DIR)
+        write_vocab(build_vocab(data), cfg.DATA.TRAIN_VOCAB)
+    if cfg.DATA.TRAINVAL_VOCAB and not os.path.exists(cfg.DATA.TRAINVAL_VOCAB):
+        data = DS.load_datasets(["train", "val_seen", "val_unseen"], dataset="R2R",
+                                data_dir=cfg.DATA.DATA_DIR)
+        write_vocab(build_vocab(data), cfg.DATA.TRAINVAL_VOCAB)
+
+
+def build_tokenizer(cfg) -> Tokenizer:
+    vocab = read_vocab(cfg.DATA.TRAIN_VOCAB)
+    return Tokenizer(vocab, cfg.DATA.MAX_ENC_LEN)
+
+
+def build_synthetic_universe(cfg, seed: int = 0):
+    """Synthetic world + R2R-style splits (train/val_seen/val_unseen) and
+    5 CLR2R rounds over it."""
+    graphs = SYN.make_world_graphs(cfg.TPU.SYNTHETIC_SCANS, cfg.TPU.SYNTHETIC_NODES, seed=seed)
+    scans = sorted(graphs)
+    n_train_scans = max(1, int(0.75 * len(scans)))
+    train_scans, unseen_scans = scans[:n_train_scans], scans[n_train_scans:] or scans[:1]
+
+    splits = {
+        "train": SYN.make_r2r_dataset(graphs, num_paths=240, seed=seed + 1,
+                                      path_id_base=0, scans=train_scans),
+        "val_seen": SYN.make_r2r_dataset(graphs, num_paths=40, seed=seed + 2,
+                                         path_id_base=10_000, scans=train_scans),
+        "val_unseen": SYN.make_r2r_dataset(graphs, num_paths=40, seed=seed + 3,
+                                           path_id_base=20_000, scans=unseen_scans),
+    }
+    # curriculum rounds: partition train by path length (difficulty proxy)
+    train_sorted = sorted(splits["train"], key=lambda it: it["distance"])
+    rounds_raw: Dict[str, List[dict]] = {}
+    per = max(1, len(train_sorted) // 5)
+    for k in range(1, 6):
+        lo = (k - 1) * per
+        hi = k * per if k < 5 else len(train_sorted)
+        rounds_raw[f"round_{k}"] = train_sorted[lo:hi]
+
+    feat_dim = 128 if cfg.TPU.SYNTHETIC_NODES <= 128 else 2048
+    world = WC.compile_world(graphs, max_candidates=cfg.TPU.MAX_CANDIDATES)
+    WC.attach_synthetic_features(world, feature_dim=feat_dim)
+    return world, splits, rounds_raw, feat_dim
+
+
+def build_real_world(cfg, scans) -> Tuple[WC.CompiledWorld, int]:
+    cache = cfg.DATA.WORLD_CACHE
+    feats = FT.read_feature_tsv(cfg.DATA.IMG_FEAT_DIR)
+    feat_dim = next(iter(feats.values())).shape[-1]
+    allowed = FT.featurized_scans(feats)
+    scans = [s for s in scans if s in allowed]
+    if cache and os.path.exists(os.path.join(cache, "world.npz")):
+        world = WC.CompiledWorld.load(os.path.join(cache, "world.npz"))
+    else:
+        graphs = load_nav_graphs(scans, cfg.DATA.CONNECTIVITY_DIR)
+        world = WC.compile_world(graphs, max_candidates=cfg.TPU.MAX_CANDIDATES)
+        if cache:
+            world.save(os.path.join(cache, "world.npz"))
+    WC.attach_features(world, FT.feature_fn_from_dict(feats), feature_dim=feat_dim)
+    return world, feat_dim
+
+
+def build_environments(cfg, tok: Tokenizer, seed: int = 2020):
+    """World + train/valid envs per cfg (ref: main.py:55-87).
+
+    Returns (world, train_env, valid_env, feat_dim) where train_env is an
+    R2RBatchEnv, a dict of round envs (NAIVE), or a CLR2RBatchEnv
+    (SELF-PACE)."""
+    bs = cfg.TRAIN.BATCH_SIZE
+
+    if cfg.TPU.SYNTHETIC_WORLD:
+        world, splits, rounds_raw, feat_dim = build_synthetic_universe(cfg, seed=seed)
+        allowed = None
+        expand = lambda items: DS.expand_r2r_items(items, tok, allowed)
+        valid_env = {
+            "val_seen": R2RBatchEnv(world, expand(splits["val_seen"]), bs, tok, seed + 11, "val_seen"),
+            "val_unseen": R2RBatchEnv(world, expand(splits["val_unseen"]), bs, tok, seed + 12, "val_unseen"),
+        }
+        if cfg.DATA.NAME == "CLR2R" and cfg.TRAIN.CLMODE == "NAIVE":
+            train_env = {}
+            acc: List[dict] = []
+            for k in range(1, 6):
+                acc = acc + rounds_raw[f"round_{k}"]
+                train_env[f"round_{k}"] = R2RBatchEnv(world, expand(acc), bs, tok, seed + k, "train")
+        elif cfg.DATA.NAME == "CLR2R" and cfg.TRAIN.CLMODE == "SELF-PACE":
+            rounds = {k: expand(v) for k, v in rounds_raw.items()}
+            train_env = CLR2RBatchEnv(world, rounds, bs, cfg.TRAIN.SELF_PACE.CRATE, tok, seed)
+        else:
+            train_env = R2RBatchEnv(world, expand(splits["train"]), bs, tok, seed, "train")
+        return world, train_env, valid_env, feat_dim
+
+    # ---- real data path ----
+    if cfg.DATA.NAME in ("R2R", "CLR2R"):
+        train_items = DS.load_datasets(["train"], "R2R", cfg.DATA.DATA_DIR if cfg.DATA.NAME == "R2R"
+                                       else os.path.dirname(cfg.DATA.DATA_DIR.rstrip("/")) or "assets")
+    else:
+        train_items = DS.load_datasets(["train"], cfg.DATA.NAME, cfg.DATA.DATA_DIR)
+    base_dir = "assets" if cfg.DATA.NAME == "CLR2R" else cfg.DATA.DATA_DIR
+    val_seen_items = DS.load_datasets(["val_seen"], "R2R", base_dir)
+    val_unseen_items = DS.load_datasets(["val_unseen"], "R2R", base_dir)
+
+    all_scans = sorted({it["scan"] for it in train_items + val_seen_items + val_unseen_items})
+    world, feat_dim = build_real_world(cfg, all_scans)
+    allowed = set(world.scan_ids)
+    expand = lambda items: DS.expand_r2r_items(items, tok, allowed)
+
+    valid_env = {
+        "val_seen": R2RBatchEnv(world, expand(val_seen_items), bs, tok, seed + 11, "val_seen"),
+        "val_unseen": R2RBatchEnv(world, expand(val_unseen_items), bs, tok, seed + 12, "val_unseen"),
+    }
+    if cfg.DATA.NAME == "CLR2R" and cfg.TRAIN.CLMODE == "NAIVE":
+        train_env = {}
+        for k in range(1, 6):
+            items = []
+            for i in range(1, k + 1):
+                items += DS.load_datasets([DS.clr2r_split_name(i)], "CLR2R", cfg.DATA.DATA_DIR)
+            train_env[f"round_{k}"] = R2RBatchEnv(world, expand(items), bs, tok, seed + k, "train")
+    elif cfg.DATA.NAME == "CLR2R" and cfg.TRAIN.CLMODE == "SELF-PACE":
+        rounds = {k: expand(v) for k, v in
+                  DS.load_clr2r_rounds(tok, cfg.DATA.DATA_DIR, None).items()}
+        train_env = CLR2RBatchEnv(world, rounds, bs, cfg.TRAIN.SELF_PACE.CRATE, tok, seed)
+    else:
+        train_env = R2RBatchEnv(world, expand(train_items), bs, tok, seed, "train")
+    return world, train_env, valid_env, feat_dim

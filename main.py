@@ -1,0 +1,93 @@
+"""CLI entry point — preserves the reference's invocation contract
+(`tasks/R2R-judy/main.py:136-151`):
+
+    python main.py --config-file configs/envdrop/envdrop_config.yaml \
+        --seed 2020 [KEY VALUE ...]
+
+Config = defaults <- YAML file <- dotted-path CLI overrides.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import sys
+import traceback
+
+import numpy as np
+
+from curriculum_learning_for_vln_tpu import engine, pipeline
+from curriculum_learning_for_vln_tpu.agents import build_agent
+from curriculum_learning_for_vln_tpu.utils import logging_utils
+from curriculum_learning_for_vln_tpu.utils.config import get_cfg_defaults
+
+
+def main(args, cfg):
+    logger = logging_utils.get_main_logger(cfg.OUTPUT.LOG_DIR, cfg.MODEL.NAME)
+
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+    pipeline.setup_vocab(cfg, seed=args.seed)
+    logger.info("[1] seed %d, config %s", args.seed, args.config_file)
+
+    import jax
+    logger.info("[2] devices: %s", jax.devices())
+
+    tok = pipeline.build_tokenizer(cfg)
+    logger.info("[3] tokenizer ready, vocab size %d", tok.vocab_size())
+
+    world, train_env, valid_env, feat_dim = pipeline.build_environments(cfg, tok, seed=args.seed)
+    logger.info("[4] world compiled (%d nodes) and environments created", world.num_nodes)
+
+    if args.check_the_code:
+        engine.check_the_code(cfg, world.device_tables(cfg.TPU.PRECISION), valid_env)
+        return
+
+    try:
+        agent = build_agent(cfg, tok.vocab_size(), feat_dim)
+        if cfg.DATA.NAME == "CLR2R" and cfg.TRAIN.CLMODE == "NAIVE":
+            trainer = engine.NaiveCurriculum()
+            logger.info("Using NaiveCurriculum trainer")
+        elif cfg.DATA.NAME == "CLR2R" and cfg.TRAIN.CLMODE == "SELF-PACE":
+            trainer = engine.SelfPacedCurriculum(
+                train_env,
+                pace_func=cfg.TRAIN.SELF_PACE.FUNC,
+                init_lamb=cfg.TRAIN.SELF_PACE.LAMB,
+                init_weight_ctrl=cfg.TRAIN.SELF_PACE.WCTRL,
+                miu=cfg.TRAIN.SELF_PACE.MIU,
+                interval=cfg.TRAIN.SELF_PACE.INTERVAL,
+                strategy=cfg.TRAIN.SELF_PACE.STRATEGY,
+                burn_in=cfg.TRAIN.SELF_PACE.BURN_IN,
+            )
+            logger.info("Using SelfPacedCurriculum trainer")
+        else:
+            trainer = engine.ClassicTrainer()
+            logger.info("Using Classic trainer")
+        trainer.train(cfg, agent, cfg.OUTPUT.TSBOARD_DIR, train_env, valid_env, seed=args.seed)
+    except Exception:
+        s = traceback.format_exc()
+        print(s)
+        logger.error(s)
+        sys.exit(1)
+
+    logger.info("[5] Training finished")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(description="TPU-native R2R navigation training")
+    parser.add_argument("--config-file", default="configs/envdrop/envdrop_config.yaml",
+                        metavar="FILE", help="path to config file")
+    parser.add_argument("--seed", default=2020, type=int, help="random seed")
+    parser.add_argument("--check-the-code", action="store_true",
+                        help="run the teacher-following sanity check and exit")
+    parser.add_argument("opts", help="config overrides: KEY VALUE [KEY VALUE ...]",
+                        default=None, nargs=argparse.REMAINDER)
+    args = parser.parse_args()
+
+    cfg = get_cfg_defaults()
+    if args.config_file:
+        cfg.merge_from_file(args.config_file)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+
+    main(args, cfg)

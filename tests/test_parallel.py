@@ -1,0 +1,108 @@
+"""Multi-chip data parallelism on the 8-device virtual CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from curriculum_learning_for_vln_tpu.agents import EnvDropAgent, FollowerAgent
+from curriculum_learning_for_vln_tpu.data.datasets import expand_r2r_items
+from curriculum_learning_for_vln_tpu.engine.loop import build_train_step, make_optimizer
+from curriculum_learning_for_vln_tpu.env.host_env import R2RBatchEnv
+from curriculum_learning_for_vln_tpu.parallel import mesh as M
+from curriculum_learning_for_vln_tpu.utils.config import get_cfg_defaults
+
+FEAT_DIM = 64
+
+
+def make_agent(tokenizer):
+    cfg = get_cfg_defaults()
+    cfg.MODEL.FOLLOWER.WORD_EMB_SIZE = 32
+    cfg.MODEL.FOLLOWER.HIDDEN_SIZE = 64
+    cfg.MODEL.FOLLOWER.ENC_LAYERS = 1
+    return FollowerAgent(cfg.MODEL.FOLLOWER, tokenizer.vocab_size(), FEAT_DIM, episode_len=6)
+
+
+def test_mesh_construction():
+    mesh = M.make_mesh()
+    assert mesh.shape["data"] == 8 and mesh.shape["model"] == 1
+    mesh2 = M.make_mesh(data=4, model=2)
+    assert mesh2.shape["data"] == 4 and mesh2.shape["model"] == 2
+
+
+def test_dp_train_step_matches_single_device(synth_world, synth_dataset, tokenizer):
+    """The sharded 8-device train step computes the same update as the
+    single-device one (same batch, same rng): DP correctness."""
+    data = expand_r2r_items(synth_dataset, tokenizer)
+    henv = R2RBatchEnv(synth_world, data, batch_size=16, tokenizer=tokenizer, seed=1)
+    tables = synth_world.device_tables()
+    agent = make_agent(tokenizer)
+    params, mstate = agent.init(jax.random.PRNGKey(0))
+    # SGD: the update is linear in the gradient, so cross-device reduction
+    # order only perturbs params at float32 epsilon (adam's rsqrt would
+    # amplify noise on near-zero gradients to full +-lr)
+    opt = make_optimizer("sgd", 1e-2)
+    opt_state = opt.init(params)
+    ep = henv.next_batch()
+    rng = jax.random.PRNGKey(42)
+
+    copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
+
+    # single device
+    step1 = build_train_step(agent, tables, opt, "teacher")
+    p1, o1, _, logs1 = step1(copy(params), copy(opt_state), mstate, ep, rng)
+
+    # 8-device data-parallel
+    mesh = M.make_mesh()
+    step8_raw = build_train_step(agent, tables, opt, "teacher")
+    # re-jit with shardings: build unjitted closure via the same builder
+    from curriculum_learning_for_vln_tpu.engine.loop import build_train_step as bts
+    step8 = step8_raw  # the jitted fn accepts sharded inputs transparently
+    ep_sharded = M.shard_batch(ep, mesh)
+    params_r = M.replicate(params, mesh)
+    opt_r = M.replicate(opt_state, mesh)
+    p8, o8, _, logs8 = step8(params_r, opt_r, mstate, ep_sharded, rng)
+
+    assert np.allclose(float(logs1["loss"]), float(logs8["loss"]), atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p8)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_jit_sharded_train_step_runs(synth_world, synth_dataset, tokenizer):
+    data = expand_r2r_items(synth_dataset, tokenizer)
+    henv = R2RBatchEnv(synth_world, data, batch_size=16, tokenizer=tokenizer, seed=1)
+    tables = synth_world.device_tables()
+    agent = make_agent(tokenizer)
+    params, mstate = agent.init(jax.random.PRNGKey(0))
+    opt = make_optimizer("adam", 1e-3)
+    opt_state = opt.init(params)
+    mesh = M.make_mesh()
+
+    # build an explicitly sharded step from the unjitted closure
+    import functools
+    from curriculum_learning_for_vln_tpu.agents.common import FEEDBACK_IDS
+
+    def raw_step(params, opt_state, model_state, ep, rng):
+        def loss_fn(p):
+            losses, _, ms = agent.rollout(p, model_state, tables, ep, rng,
+                                          feedback=FEEDBACK_IDS["teacher"], train=True)
+            return agent.loss_fn(losses), ms
+        (loss, ms), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        import optax
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, ms, {"loss": loss}
+
+    with mesh:
+        step = M.jit_sharded_train_step(raw_step, mesh)
+        ep = M.shard_batch(henv.next_batch(), mesh)
+        p, o, ms, logs = step(M.replicate(params, mesh), M.replicate(opt_state, mesh),
+                              mstate, ep, jax.random.PRNGKey(1))
+    assert np.isfinite(float(logs["loss"]))
+    # outputs stay replicated
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in jax.tree_util.tree_leaves(p))
+
+
+def test_pad_batch_to_devices():
+    mesh = M.make_mesh()
+    assert M.pad_batch_to_devices(13, mesh) == 16
+    assert M.pad_batch_to_devices(16, mesh) == 16

@@ -1,0 +1,153 @@
+"""Speaker: feature collection, teacher forcing, inference, back-translation."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from curriculum_learning_for_vln_tpu.agents.speaker import (
+    Speaker, collect_shortest_path_features, generated_to_instr_tokens)
+from curriculum_learning_for_vln_tpu.data.datasets import expand_r2r_items
+from curriculum_learning_for_vln_tpu.env.host_env import R2RBatchEnv
+from curriculum_learning_for_vln_tpu.utils.config import get_cfg_defaults
+from curriculum_learning_for_vln_tpu.utils.tokenizer import BOS_IDX, EOS_IDX, PAD_IDX
+
+FEAT_DIM = 64
+EP_LEN = 8
+
+
+@pytest.fixture(scope="module")
+def ctx(synth_world, synth_dataset, tokenizer):
+    data = expand_r2r_items(synth_dataset, tokenizer)
+    henv = R2RBatchEnv(synth_world, data, batch_size=4, tokenizer=tokenizer, seed=9)
+    return synth_world, synth_world.device_tables(), henv
+
+
+def make_speaker(tok):
+    cfg = get_cfg_defaults()
+    s = cfg.AIDE.SPEAKER
+    s.RNN_DIM = 64
+    s.WEMB = 32
+    s.MAX_DECODE = 20
+    s.DROPOUT = 0.5
+    s.FEAT_DROPOUT = 0.3
+    s.BI_DIRECTION = True
+    s.LR = 1e-3
+    return Speaker(s, tok.vocab_size(), feat_dim=FEAT_DIM, episode_len=EP_LEN)
+
+
+def test_collect_shortest_path_features(ctx):
+    world, tables, henv = ctx
+    ep = henv.next_batch()
+    feats = collect_shortest_path_features(tables, ep, EP_LEN)
+    B = 4
+    assert feats.img_feats.shape == (B, EP_LEN, 36, FEAT_DIM + 128)
+    assert feats.can_feats.shape == (B, EP_LEN, FEAT_DIM + 128)
+    lengths = np.asarray(feats.lengths)
+    assert np.all(lengths >= 1) and np.all(lengths <= EP_LEN)
+    # after stop, can_feats are zero
+    for b in range(B):
+        assert np.allclose(np.asarray(feats.can_feats)[b, lengths[b]:], 0.0)
+        # the stop step itself has zero can-feat (STOP feature)
+        assert np.allclose(np.asarray(feats.can_feats)[b, lengths[b] - 1], 0.0)
+        # move steps have non-zero can-feats
+        if lengths[b] > 1:
+            assert not np.allclose(np.asarray(feats.can_feats)[b, 0], 0.0)
+
+
+def test_teacher_forcing_trains(ctx, tokenizer):
+    world, tables, henv = ctx
+    spk = make_speaker(tokenizer)
+    params, opt_state = spk.init(jax.random.PRNGKey(0))
+    params2, opt_state2, losses = spk.train_steps(
+        params, opt_state, tables, henv, jax.random.PRNGKey(1), iters=12)
+    assert all(np.isfinite(l) for l in losses)
+    # learning signal despite dropout noise: late average below early average
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
+
+
+def test_per_word_loss_for_listener(ctx, tokenizer):
+    world, tables, henv = ctx
+    spk = make_speaker(tokenizer)
+    params, _ = spk.init(jax.random.PRNGKey(0))
+    ep = henv.next_batch()
+    feats = collect_shortest_path_features(tables, ep, EP_LEN)
+    per_word = spk.teacher_forcing_loss(params, feats, ep.instr_tokens,
+                                        jax.random.PRNGKey(1), train=False, for_listener=True)
+    L = ep.instr_tokens.shape[1]
+    assert per_word.shape == (4, L - 1)
+    # padding positions contribute zero
+    pads = np.asarray(ep.instr_tokens)[:, 1:] == PAD_IDX
+    assert np.allclose(np.asarray(per_word)[pads], 0.0)
+
+
+def test_infer_batch_and_backtranslate(ctx, tokenizer):
+    world, tables, henv = ctx
+    spk = make_speaker(tokenizer)
+    params, _ = spk.init(jax.random.PRNGKey(0))
+    ep = henv.next_batch()
+    words = np.asarray(spk.infer_batch(params, tables, ep, jax.random.PRNGKey(3)))
+    assert words.shape == (4, 20)
+    # post-EOS positions are PAD
+    for b in range(4):
+        eos = np.where(words[b] == EOS_IDX)[0]
+        if len(eos):
+            assert np.all(words[b, eos[0] + 1:] == PAD_IDX)
+    # no UNK generated
+    from curriculum_learning_for_vln_tpu.utils.tokenizer import UNK_IDX
+    assert not np.any(words == UNK_IDX)
+
+    new_ep, noise = spk.back_translate(params, tables, henv, ep,
+                                       enc_len=24, rng=jax.random.PRNGKey(4),
+                                       feat_dim=FEAT_DIM)
+    toks = np.asarray(new_ep.instr_tokens)
+    assert toks.shape == (4, 24)
+    assert np.all(toks[:, 0] == BOS_IDX)
+    lens = np.asarray(new_ep.instr_len)
+    for b in range(4):
+        assert toks[b, lens[b] - 1] == EOS_IDX
+    assert noise.shape == (FEAT_DIM,)
+    # same episodes, new instructions
+    assert np.array_equal(np.asarray(new_ep.start_node), np.asarray(ep.start_node))
+
+
+def test_generated_to_instr_tokens_edgecases():
+    words = np.array([
+        [5, 6, EOS_IDX, 9, 9],       # EOS mid-sequence: truncate after EOS
+        [5, 6, 7, 8, 9],             # no EOS: forced terminal EOS
+        [PAD_IDX, 0, 0, 0, 0],       # empty: BOS + EOS
+    ])
+    tokens, lengths = generated_to_instr_tokens(words, enc_len=6)
+    assert tokens[0, :4].tolist() == [BOS_IDX, 5, 6, EOS_IDX] and lengths[0] == 4
+    assert tokens[1].tolist()[:6] == [BOS_IDX, 5, 6, 7, 8, EOS_IDX] and lengths[1] == 6
+    assert tokens[2, :2].tolist() == [BOS_IDX, EOS_IDX] and lengths[2] == 2
+
+
+def test_envdrop_backtranslation_rollout(ctx, tokenizer):
+    """Full self-train combination: fake instructions + shared noise mask
+    into the EnvDrop rollout (ref: envdrop.py:105-121, 155-157)."""
+    from curriculum_learning_for_vln_tpu.agents import EnvDropAgent
+    from curriculum_learning_for_vln_tpu.agents.common import FEEDBACK_SAMPLE
+
+    world, tables, henv = ctx
+    spk = make_speaker(tokenizer)
+    sparams, _ = spk.init(jax.random.PRNGKey(0))
+    ep = henv.next_batch()
+    new_ep, noise = spk.back_translate(sparams, tables, henv, ep, enc_len=24,
+                                       rng=jax.random.PRNGKey(1), feat_dim=FEAT_DIM)
+
+    cfg = get_cfg_defaults()
+    m = cfg.MODEL.ENVDROP
+    m.WORD_EMB_SIZE = 32
+    m.ACT_EMB_SIZE = 16
+    m.HIDDEN_SIZE = 64
+    m.ML_WEIGHT = 0.2
+    m.GAMMA = 0.9
+    m.RL_NORMALIZE = "total"
+    agent = EnvDropAgent(m, max_enc_len=24, vocab_size=tokenizer.vocab_size(),
+                         feat_dim=FEAT_DIM, episode_len=EP_LEN)
+    params, mstate = agent.init(jax.random.PRNGKey(2))
+    losses, result, _ = agent.rollout(params, mstate, tables, new_ep, jax.random.PRNGKey(3),
+                                      feedback=FEEDBACK_SAMPLE, train=True,
+                                      train_ml=True, train_rl=True, feat_mask=noise)
+    assert np.isfinite(float(losses.ml_loss))
+    assert np.isfinite(float(losses.rl_loss))

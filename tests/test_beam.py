@@ -1,0 +1,101 @@
+"""Beam search (dijkstra) + speaker rescoring."""
+import jax
+import numpy as np
+import pytest
+
+from curriculum_learning_for_vln_tpu.agents import EnvDropAgent, FollowerAgent
+from curriculum_learning_for_vln_tpu.agents.beam import BeamSearch
+from curriculum_learning_for_vln_tpu.agents.speaker import Speaker
+from curriculum_learning_for_vln_tpu.data.datasets import expand_r2r_items
+from curriculum_learning_for_vln_tpu.env.host_env import R2RBatchEnv
+from curriculum_learning_for_vln_tpu.utils.config import get_cfg_defaults
+from curriculum_learning_for_vln_tpu.utils.floyd import FloydGraph
+
+FEAT_DIM = 64
+
+
+def test_floyd_graph():
+    g = FloydGraph()
+    g.add_edge("a", "b", 1.0)
+    g.add_edge("b", "c", 1.0)
+    g.add_edge("a", "c", 5.0)
+    assert g.distance("a", "c") == 5.0
+    g.update("b")
+    assert g.distance("a", "c") == 2.0
+    assert g.path("a", "c") == ["b", "c"]
+    assert g.path("a", "a") == []
+    assert g.visited("b") and not g.visited("a")
+
+
+@pytest.fixture(scope="module")
+def ctx(synth_world, synth_dataset, tokenizer):
+    data = expand_r2r_items(synth_dataset, tokenizer)
+    henv = R2RBatchEnv(synth_world, data, batch_size=3, tokenizer=tokenizer, seed=11)
+    return synth_world, synth_world.device_tables(), henv, data
+
+
+@pytest.mark.parametrize("agent_name", ["FOLLOWER", "ENVDROP"])
+def test_dijkstra_paths(ctx, tokenizer, agent_name):
+    world, tables, henv, data = ctx
+    cfg = get_cfg_defaults()
+    if agent_name == "FOLLOWER":
+        m = cfg.MODEL.FOLLOWER
+        m.WORD_EMB_SIZE = 32
+        m.HIDDEN_SIZE = 64
+        m.ENC_LAYERS = 1
+        agent = FollowerAgent(m, tokenizer.vocab_size(), FEAT_DIM, episode_len=8)
+    else:
+        m = cfg.MODEL.ENVDROP
+        m.WORD_EMB_SIZE = 32
+        m.ACT_EMB_SIZE = 16
+        m.HIDDEN_SIZE = 64
+        agent = EnvDropAgent(m, 24, tokenizer.vocab_size(), FEAT_DIM, episode_len=8)
+    params, mstate = agent.init(jax.random.PRNGKey(0))
+
+    beam = BeamSearch(agent, world, tables, max_iters=60)
+    ep = henv.next_batch()
+    results = beam.dijkstra(params, mstate, ep, data, max_candidates=4)
+    assert len(results) == 3
+    for r in results:
+        assert 1 <= len(r["paths"]) <= 4
+        for p in r["paths"]:
+            # trajectory starts at the episode start and ends where <end> fired
+            assert len(p["trajectory"]) == len(p["action"]) + 1
+            assert p["action"][-1] == -1
+            assert len(p["listener_scores"]) == len(p["action"])
+            # scores are log-probs
+            assert all(s <= 1e-6 for s in p["listener_scores"])
+        # dijk_path is a connected walk over the graph
+        dp = r["dijk_path"]
+        for a, b in zip(dp[:-1], dp[1:]):
+            ga = world.global_id(r["scan"], a)
+            gb = world.global_id(r["scan"], b)
+            nbrs = world.cand_next[ga][world.cand_valid[ga]]
+            assert gb in nbrs or ga == gb
+
+
+def test_beam_rollout_speaker_scores(ctx, tokenizer):
+    world, tables, henv, data = ctx
+    cfg = get_cfg_defaults()
+    m = cfg.MODEL.FOLLOWER
+    m.WORD_EMB_SIZE = 32
+    m.HIDDEN_SIZE = 64
+    m.ENC_LAYERS = 1
+    agent = FollowerAgent(m, tokenizer.vocab_size(), FEAT_DIM, episode_len=8)
+    params, mstate = agent.init(jax.random.PRNGKey(0))
+
+    s = cfg.AIDE.SPEAKER
+    s.RNN_DIM = 64
+    s.WEMB = 32
+    s.MAX_DECODE = 16
+    speaker = Speaker(s, tokenizer.vocab_size(), feat_dim=FEAT_DIM, episode_len=8)
+    spk_params, _ = speaker.init(jax.random.PRNGKey(1))
+
+    beam = BeamSearch(agent, world, tables, max_iters=40)
+    ep = henv.next_batch()
+    results = beam.beam_rollout(params, mstate, ep, data, speaker, spk_params, beam_size=3)
+    for r in results:
+        for p in r["paths"]:
+            assert "speaker_scores" in p
+            assert "visual_feature" not in p
+            assert np.all(np.asarray(p["speaker_scores"]) <= 1e-6)  # negative per-word losses

@@ -1,0 +1,99 @@
+"""VLN-BERT path-instruction compatibility scorer.
+
+Wraps the two-stream ViLBERT (`models/vilbert.py`) with the path-selection
+head, mirroring `tasks/R2R-judy/src/agent/vln_bert.py:11-75`.  The
+reference ships no in-repo driver that builds the image/location inputs
+(SURVEY §2: "no in-repo training/inference driver"), so this module also
+provides ``path_scorer_inputs``: a documented construction of the 12-d
+per-step location vector from the compiled world —
+
+    [:5]   normalized (x, y, z, geodesic-progress, step-fraction)
+    [5:9]  orientation  [sin h, cos h, sin e, cos e]
+    [9:11] next-step orientation [sin h', cos h']
+    [11]   integer step index (sequence-position embedding)
+
+— matching the embedding slots of the VLN-modified BertImageEmbeddings
+(vilbert.py:1398-1428).
+"""
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.vilbert import VilBertConfig, vlnbert_apply, vlnbert_init
+from ..world.compiler import CompiledWorld
+
+
+class VLNBertScorer:
+    name = "VLN-BERT"
+
+    def __init__(self, cfg: VilBertConfig, dropout_prob: float = 0.1):
+        self.cfg = cfg
+        self.dropout_prob = dropout_prob
+
+    def init(self, key) -> Tuple[dict, dict]:
+        return vlnbert_init(key, self.cfg), {}
+
+    def apply(self, params, instr_tokens, image_features, image_locations,
+              attention_mask=None, image_attention_mask=None, rng=None, train=False):
+        return vlnbert_apply(
+            params, self.cfg, instr_tokens, image_features, image_locations,
+            attention_mask=attention_mask, image_attention_mask=image_attention_mask,
+            rng=rng, train=train, dropout_prob=self.dropout_prob,
+        )
+
+    def score_paths(self, params, instr_tokens, image_features, image_locations,
+                    attention_mask=None, image_attention_mask=None):
+        """vil_logit for a batch of (path, instruction) pairs."""
+        logit, _, _ = self.apply(params, instr_tokens, image_features, image_locations,
+                                 attention_mask, image_attention_mask, train=False)
+        return logit[:, 0]
+
+
+def path_scorer_inputs(
+    world: CompiledWorld,
+    scan: str,
+    path_nodes: Sequence[int],       # global node ids along the path
+    path_views: Sequence[int],       # view indices at each step
+    max_path_len: int,
+    feat_dim: int = 2048,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(features [L, D], locations [L, 12], mask [L]) for one path."""
+    import math
+
+    from ..utils.angles import view_elevation, view_heading
+
+    L = max_path_len
+    feats = np.zeros((L, feat_dim), np.float32)
+    locs = np.zeros((L, 12), np.float32)
+    mask = np.zeros((L,), np.float32)
+    n = min(len(path_nodes), L)
+    pos = world.pos
+    start = pos[path_nodes[0]]
+    extent = max(float(np.ptp(pos[:, 0])), float(np.ptp(pos[:, 1])), 1.0)
+    goal_local = world.node_local[path_nodes[-1]]
+    total = max(float(world.dist[path_nodes[0], goal_local]), 1e-6)
+
+    for t in range(n):
+        g = int(path_nodes[t])
+        v = int(path_views[t])
+        feats[t] = world.features[g, v][:feat_dim]
+        p = pos[g]
+        progress = 1.0 - float(world.dist[g, goal_local]) / total
+        locs[t, 0] = (p[0] - start[0]) / extent
+        locs[t, 1] = (p[1] - start[1]) / extent
+        locs[t, 2] = (p[2] - start[2]) / extent
+        locs[t, 3] = progress
+        locs[t, 4] = t / max(n - 1, 1)
+        h = float(view_heading(v))
+        e = float(view_elevation(v))
+        locs[t, 5:9] = [math.sin(h), math.cos(h), math.sin(e), math.cos(e)]
+        if t + 1 < n:
+            hn = float(view_heading(int(path_views[t + 1])))
+            locs[t, 9:11] = [math.sin(hn), math.cos(hn)]
+        locs[t, 11] = min(t, 31)
+        mask[t] = 1.0
+    return feats, locs, mask

@@ -112,21 +112,39 @@ def rollout_scan(
     episode_len: int,
     feedback: int,
     model_post: Callable = None,
+    avoid_cyclic: bool = False,
 ) -> RolloutResult:
     """Run a full episode rollout as one `lax.scan`.
 
     The scan always runs ``episode_len`` steps; ended episodes are frozen
     by the env semantics and masked in the records (the reference instead
-    breaks out of its Python loop early, follower.py:168)."""
+    breaks out of its Python loop early, follower.py:168).
+
+    ``avoid_cyclic`` masks candidates leading to already-visited
+    viewpoints (ref: follower.py:117-122), tracked as a device-side node
+    history instead of host Python sets."""
     state0 = E.reset(world, ep)
+    B = state0.node.shape[0]
+    # visited-node history: slot t holds the node at time t (-1 = unfilled)
+    visited0 = jnp.full((B, episode_len + 1), -1, jnp.int32)
+    visited0 = visited0.at[:, 0].set(state0.node)
 
     def step(carry, t):
-        state, mc, rng = carry
+        state, mc, rng, visited = carry
         rng, rng_model, rng_act = jax.random.split(rng, 3)
 
         obs = E.observe(world, state)
         masked_logits, mc, hidden, progress = model_step(mc, obs, state, rng_model, t)
-        masked_logits = jnp.where(obs.cand_mask, NEG_INF, masked_logits)
+        cand_mask = obs.cand_mask
+        if avoid_cyclic:
+            c_next = world.cand_next[state.node]                      # [B, MC]
+            seen = jnp.any(c_next[:, :, None] == visited[:, None, :], axis=-1)
+            # only real candidates: padding slots alias the self node (always
+            # "visited") and slot n doubles as STOP, which must stay open
+            seen = seen & world.cand_valid[state.node]
+            K = cand_mask.shape[1]
+            cand_mask = cand_mask | jnp.pad(seen, ((0, 0), (0, K - seen.shape[1])))
+        masked_logits = jnp.where(cand_mask, NEG_INF, masked_logits)
 
         teacher = obs.teacher
         ce = _ce_per_sample(masked_logits, teacher)
@@ -146,6 +164,9 @@ def rollout_scan(
         reward = shaped_reward(is_stop, dist_before, dist_after, alive_before)
         moved = jnp.logical_and(alive_before, jnp.logical_not(is_stop))
 
+        if avoid_cyclic:
+            visited = visited.at[:, t + 1].set(new_state.node)
+
         rec = StepRecord(
             node_after=new_state.node,
             view_after=new_state.view_idx,
@@ -162,10 +183,10 @@ def rollout_scan(
             action=action,
             progress=progress,
         )
-        return (new_state, mc, rng), rec
+        return (new_state, mc, rng, visited), rec
 
-    (final_state, mc, _), steps = jax.lax.scan(
-        step, (state0, model_carry0, rng), jnp.arange(episode_len)
+    (final_state, mc, _, _), steps = jax.lax.scan(
+        step, (state0, model_carry0, rng, visited0), jnp.arange(episode_len)
     )
     return RolloutResult(
         final_state=final_state,

@@ -78,6 +78,7 @@ class EnvDropAgent:
         rng,
         feedback: int,
         train: bool,
+        avoid_cyclic: bool = False,
         train_ml: bool = True,
         train_rl: bool = False,
         feat_mask: Optional[jnp.ndarray] = None,  # [D] shared noise (back-translation)
@@ -117,7 +118,8 @@ class EnvDropAgent:
 
         # h_tilde initialized to the encoder's h (ref: envdrop.py:150)
         result = C.rollout_scan(
-            world, ep, rng, (h0, c0, h0), model_step, self.episode_len, feedback
+            world, ep, rng, (h0, c0, h0), model_step, self.episode_len, feedback,
+            avoid_cyclic=avoid_cyclic,
         )
         steps = result.steps
 

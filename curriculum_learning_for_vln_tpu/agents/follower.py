@@ -29,12 +29,14 @@ class FollowerLosses(NamedTuple):
 class FollowerAgent:
     name = "FOLLOWER"
 
-    def __init__(self, model_cfg, vocab_size: int, feat_dim: int, episode_len: int):
+    def __init__(self, model_cfg, vocab_size: int, feat_dim: int, episode_len: int,
+                 glove=None):
         self.cfg = model_cfg
         self.vocab_size = vocab_size
         self.feature_size = feat_dim + 128
         self.action_emb_size = self.feature_size
         self.episode_len = episode_len
+        self.glove = glove  # optional frozen pretrained embeddings (ref: units.py:30-37)
 
     # -- params -----------------------------------------------------------
     def init(self, key) -> Tuple[dict, dict]:
@@ -43,7 +45,7 @@ class FollowerAgent:
             "encoder": encoder_init(
                 k1, self.vocab_size, self.cfg.WORD_EMB_SIZE, self.cfg.HIDDEN_SIZE,
                 padding_idx=PAD_IDX, bidirectional=self.cfg.ENC_BIDIRECTION,
-                num_layers=self.cfg.ENC_LAYERS,
+                num_layers=self.cfg.ENC_LAYERS, glove=self.glove,
             ),
             "decoder": D.follower_decoder_init(
                 k2, self.cfg.HIDDEN_SIZE, self.action_emb_size, self.feature_size
@@ -61,12 +63,14 @@ class FollowerAgent:
         rng,
         feedback: int,
         train: bool,
+        avoid_cyclic: bool = False,
     ) -> Tuple[FollowerLosses, C.RolloutResult, dict]:
         drop = self.cfg.DROP_RATE
         rng, rng_enc = jax.random.split(rng)
         ctx_mask = ep.instr_tokens == PAD_IDX
         ctx, h0, c0 = encoder_apply(
-            params["encoder"], ep.instr_tokens, ep.instr_len, rng_enc, train, drop
+            params["encoder"], ep.instr_tokens, ep.instr_len, rng_enc, train, drop,
+            use_glove=self.glove is not None,
         )
 
         B = ep.instr_tokens.shape[0]
@@ -87,6 +91,7 @@ class FollowerAgent:
         result = C.rollout_scan(
             world, ep, rng, (h0, c0, a_prev0), model_step,
             self.episode_len, feedback, model_post=model_post,
+            avoid_cyclic=avoid_cyclic,
         )
         losses = FollowerLosses(
             ml_loss=C.ml_loss_mean_over_alive(result.steps),

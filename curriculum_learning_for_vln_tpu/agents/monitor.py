@@ -66,6 +66,7 @@ class SelfMonitorAgent:
         rng,
         feedback: int,
         train: bool,
+        avoid_cyclic: bool = False,
         lamb: float = 0.5,
     ) -> Tuple[MonitorLosses, C.RolloutResult, dict]:
         drop = self.cfg.DROP_RATE
@@ -94,7 +95,7 @@ class SelfMonitorAgent:
         result = C.rollout_scan(
             world, ep, rng, (h0, c0, a_prev0, model_state["decoder_bn"]),
             model_step, self.episode_len, feedback,
-            model_post=model_post,
+            model_post=model_post, avoid_cyclic=avoid_cyclic,
         )
         steps = result.steps
 

@@ -26,12 +26,19 @@ def encoder_init(
     padding_idx: int,
     bidirectional: bool = False,
     num_layers: int = 1,
+    glove=None,
 ) -> dict:
+    """``glove``: optional [vocab, embed] pretrained table — used frozen, and
+    embedding dropout is skipped (ref: units.py:30-37, 55-56)."""
     dirs = 2 if bidirectional else 1
     H = hidden_size // dirs
     keys = jax.random.split(key, 2 + 2 * num_layers)
+    if glove is not None:
+        embedding = {"w": jnp.asarray(glove)}
+    else:
+        embedding = embedding_init(keys[0], vocab_size, embed_size, padding_idx)
     p = {
-        "embedding": embedding_init(keys[0], vocab_size, embed_size, padding_idx),
+        "embedding": embedding,
         "enc2dec": dense_init(keys[1], H * dirs, H * dirs, bias=True),
         "layers": [],
     }
@@ -51,11 +58,15 @@ def encoder_apply(
     rng,
     train: bool,
     drop_rate: float = 0.5,
+    use_glove: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (ctx [B, L, H*dirs], decoder_init_h [B, H*dirs], c_T)."""
     num_layers = len(p["layers"])
     embeds = embedding(p["embedding"], tokens)
-    embeds = dropout(jax.random.fold_in(rng, 0), embeds, drop_rate, deterministic=not train)
+    if use_glove:
+        embeds = jax.lax.stop_gradient(embeds)  # frozen pretrained table
+    else:
+        embeds = dropout(jax.random.fold_in(rng, 0), embeds, drop_rate, deterministic=not train)
 
     x = embeds
     h_t = c_t = None

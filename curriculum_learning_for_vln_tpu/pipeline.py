@@ -125,19 +125,29 @@ def build_environments(cfg, tok: Tokenizer, seed: int = 2020):
         return world, train_env, valid_env, feat_dim
 
     # ---- real data path ----
-    if cfg.DATA.NAME in ("R2R", "CLR2R"):
-        train_items = DS.load_datasets(["train"], "R2R", cfg.DATA.DATA_DIR if cfg.DATA.NAME == "R2R"
-                                       else os.path.dirname(cfg.DATA.DATA_DIR.rstrip("/")) or "assets")
+    if cfg.DATA.NAME == "RxR":
+        train_items = DS.load_datasets(["train"], "RxR", cfg.DATA.DATA_DIR)
+        val_seen_items = DS.load_datasets(["val_seen"], "RxR", cfg.DATA.DATA_DIR)
+        val_unseen_items = DS.load_datasets(["val_unseen"], "RxR", cfg.DATA.DATA_DIR)
     else:
-        train_items = DS.load_datasets(["train"], cfg.DATA.NAME, cfg.DATA.DATA_DIR)
-    base_dir = "assets" if cfg.DATA.NAME == "CLR2R" else cfg.DATA.DATA_DIR
-    val_seen_items = DS.load_datasets(["val_seen"], "R2R", base_dir)
-    val_unseen_items = DS.load_datasets(["val_unseen"], "R2R", base_dir)
+        if cfg.DATA.NAME in ("R2R", "CLR2R"):
+            train_items = DS.load_datasets(
+                ["train"], "R2R",
+                cfg.DATA.DATA_DIR if cfg.DATA.NAME == "R2R"
+                else os.path.dirname(cfg.DATA.DATA_DIR.rstrip("/")) or "assets")
+        else:
+            train_items = DS.load_datasets(["train"], cfg.DATA.NAME, cfg.DATA.DATA_DIR)
+        base_dir = "assets" if cfg.DATA.NAME == "CLR2R" else cfg.DATA.DATA_DIR
+        val_seen_items = DS.load_datasets(["val_seen"], "R2R", base_dir)
+        val_unseen_items = DS.load_datasets(["val_unseen"], "R2R", base_dir)
 
     all_scans = sorted({it["scan"] for it in train_items + val_seen_items + val_unseen_items})
     world, feat_dim = build_real_world(cfg, all_scans)
     allowed = set(world.scan_ids)
-    expand = lambda items: DS.expand_r2r_items(items, tok, allowed)
+    if cfg.DATA.NAME == "RxR":
+        expand = lambda items: DS.expand_rxr_items(items, tok, allowed)
+    else:
+        expand = lambda items: DS.expand_r2r_items(items, tok, allowed)
 
     valid_env = {
         "val_seen": R2RBatchEnv(world, expand(val_seen_items), bs, tok, seed + 11, "val_seen"),

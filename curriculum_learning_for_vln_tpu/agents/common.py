@@ -113,6 +113,7 @@ def rollout_scan(
     feedback: int,
     model_post: Callable = None,
     avoid_cyclic: bool = False,
+    compute_dtype=jnp.float32,
 ) -> RolloutResult:
     """Run a full episode rollout as one `lax.scan`.
 
@@ -133,7 +134,7 @@ def rollout_scan(
         state, mc, rng, visited = carry
         rng, rng_model, rng_act = jax.random.split(rng, 3)
 
-        obs = E.observe(world, state)
+        obs = E.observe(world, state, compute_dtype=compute_dtype)
         masked_logits, mc, hidden, progress = model_step(mc, obs, state, rng_model, t)
         cand_mask = obs.cand_mask
         if avoid_cyclic:

@@ -51,6 +51,7 @@ class EnvDropAgent:
         self.angle_feat_size = 128
         self.feature_size = feat_dim + 128
         self.episode_len = episode_len
+        self.compute_dtype = jnp.float32  # set bfloat16 on TPU for feature-path traffic
 
     def init(self, key) -> Tuple[dict, dict]:
         k1, k2, k3 = jax.random.split(key, 3)
@@ -119,7 +120,7 @@ class EnvDropAgent:
         # h_tilde initialized to the encoder's h (ref: envdrop.py:150)
         result = C.rollout_scan(
             world, ep, rng, (h0, c0, h0), model_step, self.episode_len, feedback,
-            avoid_cyclic=avoid_cyclic,
+            avoid_cyclic=avoid_cyclic, compute_dtype=self.compute_dtype,
         )
         steps = result.steps
 

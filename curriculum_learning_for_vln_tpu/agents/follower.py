@@ -36,6 +36,7 @@ class FollowerAgent:
         self.feature_size = feat_dim + 128
         self.action_emb_size = self.feature_size
         self.episode_len = episode_len
+        self.compute_dtype = jnp.float32  # set bfloat16 on TPU for feature-path traffic
         self.glove = glove  # optional frozen pretrained embeddings (ref: units.py:30-37)
 
     # -- params -----------------------------------------------------------
@@ -91,7 +92,7 @@ class FollowerAgent:
         result = C.rollout_scan(
             world, ep, rng, (h0, c0, a_prev0), model_step,
             self.episode_len, feedback, model_post=model_post,
-            avoid_cyclic=avoid_cyclic,
+            avoid_cyclic=avoid_cyclic, compute_dtype=self.compute_dtype,
         )
         losses = FollowerLosses(
             ml_loss=C.ml_loss_mean_over_alive(result.steps),

@@ -40,6 +40,7 @@ class SelfMonitorAgent:
         self.feature_size = feat_dim + 128
         self.action_emb_size = self.feature_size
         self.episode_len = episode_len
+        self.compute_dtype = jnp.float32  # set bfloat16 on TPU for feature-path traffic
 
     def init(self, key) -> Tuple[dict, dict]:
         k1, k2 = jax.random.split(key)
@@ -95,7 +96,7 @@ class SelfMonitorAgent:
         result = C.rollout_scan(
             world, ep, rng, (h0, c0, a_prev0, model_state["decoder_bn"]),
             model_step, self.episode_len, feedback,
-            model_post=model_post, avoid_cyclic=avoid_cyclic,
+            model_post=model_post, avoid_cyclic=avoid_cyclic, compute_dtype=self.compute_dtype,
         )
         steps = result.steps
 

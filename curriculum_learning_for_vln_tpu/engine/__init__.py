@@ -3,11 +3,13 @@ from .checkpoint import load_checkpoint, save_checkpoint
 from .curriculum import NaiveCurriculum, SelfPacedCurriculum, spcl_update_lambda, spcl_update_weight
 from .evaluator import Evaluation
 from .loop import build_eval_rollout, build_train_step, make_optimizer, run_eval
+from .self_train import build_backtranslation_step, pretrain_speaker, self_train
 from .trainer import ClassicTrainer, check_the_code, dedup_by_path
 
 __all__ = [
     "ClassicTrainer", "NaiveCurriculum", "SelfPacedCurriculum", "Evaluation",
     "check_the_code", "dedup_by_path", "build_train_step", "build_eval_rollout",
     "make_optimizer", "run_eval", "save_checkpoint", "load_checkpoint",
-    "spcl_update_weight", "spcl_update_lambda",
+    "spcl_update_weight", "spcl_update_lambda", "self_train",
+    "pretrain_speaker", "build_backtranslation_step",
 ]

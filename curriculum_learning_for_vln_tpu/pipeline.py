@@ -125,6 +125,28 @@ def build_environments(cfg, tok: Tokenizer, seed: int = 2020):
         return world, train_env, valid_env, feat_dim
 
     # ---- real data path ----
+    if cfg.DATA.NAME == "Mixed":
+        # joint R2R + RxR training with per-dataset validation envs
+        # (ref: trainer.py:234-240 Mixed evaluator option)
+        rxr_dir = os.path.join(cfg.DATA.DATA_DIR, "RxR-en") \
+            if not cfg.DATA.DATA_DIR.endswith("RxR-en") else cfg.DATA.DATA_DIR
+        r2r_train = DS.load_datasets(["train"], "R2R", "assets")
+        rxr_train = DS.load_datasets(["train"], "RxR", rxr_dir)
+        scans = sorted({it["scan"] for it in r2r_train + rxr_train})
+        world, feat_dim = build_real_world(cfg, scans)
+        allowed = set(world.scan_ids)
+        exp_r2r = lambda items: DS.expand_r2r_items(items, tok, allowed)
+        exp_rxr = lambda items: DS.expand_rxr_items(items, tok, allowed)
+        train_env = R2RBatchEnv(world, exp_r2r(r2r_train) + exp_rxr(rxr_train),
+                                bs, tok, seed, "train")
+        valid_env = {
+            "r2r_val_seen": R2RBatchEnv(world, exp_r2r(DS.load_datasets(["val_seen"], "R2R", "assets")), bs, tok, seed + 11, "val_seen"),
+            "r2r_val_unseen": R2RBatchEnv(world, exp_r2r(DS.load_datasets(["val_unseen"], "R2R", "assets")), bs, tok, seed + 12, "val_unseen"),
+            "rxr_val_seen": R2RBatchEnv(world, exp_rxr(DS.load_datasets(["val_seen"], "RxR", rxr_dir)), bs, tok, seed + 13, "val_seen"),
+            "rxr_val_unseen": R2RBatchEnv(world, exp_rxr(DS.load_datasets(["val_unseen"], "RxR", rxr_dir)), bs, tok, seed + 14, "val_unseen"),
+        }
+        return world, train_env, valid_env, feat_dim
+
     if cfg.DATA.NAME == "RxR":
         train_items = DS.load_datasets(["train"], "RxR", cfg.DATA.DATA_DIR)
         val_seen_items = DS.load_datasets(["val_seen"], "RxR", cfg.DATA.DATA_DIR)

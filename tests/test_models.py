@@ -166,3 +166,26 @@ def test_pallas_lstm_interpret_matches_xla(rng):
     h_p, c_p = lstm_cell_pallas(x, h, c, w_ih, w_hh, b, interpret=True)
     assert np.allclose(np.asarray(h_p), np.asarray(h_ref), atol=1e-5)
     assert np.allclose(np.asarray(c_p), np.asarray(c_ref), atol=1e-5)
+
+
+def test_pallas_lstm_scan_interpret_matches_masked_lstm(rng):
+    from curriculum_learning_for_vln_tpu.models.core import masked_lstm
+    from curriculum_learning_for_vln_tpu.ops.pallas.lstm_scan import lstm_scan_pallas
+
+    B, L, Din, H = 4, 6, 16, 8
+    xs = jnp.asarray(rng.standard_normal((B, L, Din)).astype(np.float32))
+    lengths = jnp.array([6, 4, 2, 5], jnp.int32)
+    p = {
+        "w_ih": jnp.asarray(rng.standard_normal((Din, 4 * H)).astype(np.float32) * 0.2),
+        "w_hh": jnp.asarray(rng.standard_normal((H, 4 * H)).astype(np.float32) * 0.2),
+        "b_ih": jnp.asarray(rng.standard_normal((4 * H,)).astype(np.float32) * 0.1),
+        "b_hh": jnp.zeros((4 * H,)),
+    }
+    for reverse in (False, True):
+        out_ref, (h_ref, c_ref) = masked_lstm(p, xs, lengths, reverse=reverse)
+        out_p, (h_p, c_p) = lstm_scan_pallas(
+            xs, lengths, p["w_ih"], p["w_hh"], p["b_ih"] + p["b_hh"],
+            reverse=reverse, interpret=True)
+        assert np.allclose(np.asarray(out_p), np.asarray(out_ref), atol=1e-5), reverse
+        assert np.allclose(np.asarray(h_p), np.asarray(h_ref), atol=1e-5), reverse
+        assert np.allclose(np.asarray(c_p), np.asarray(c_ref), atol=1e-5), reverse

@@ -21,10 +21,20 @@ Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# soft wall-clock budget: the train-step measurement (biggest compile) is
+# skipped if the budget is nearly exhausted so the JSON line always lands
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "520"))
+_T_START = time.time()
+
+
+def remaining():
+    return BUDGET_S - (time.time() - _T_START)
 
 BATCH = 64
 EPISODE_LEN = 35
@@ -60,6 +70,13 @@ def build_universe():
 def bench_device(world, henv, tok):
     import jax
 
+    try:  # persistent compile cache (works when the backend supports it)
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     from curriculum_learning_for_vln_tpu.agents import EnvDropAgent
     from curriculum_learning_for_vln_tpu.agents.common import FEEDBACK_ARGMAX
     from curriculum_learning_for_vln_tpu.engine.loop import build_train_step, make_optimizer
@@ -90,8 +107,10 @@ def bench_device(world, henv, tok):
     params, mstate = agent.init(jax.random.PRNGKey(0))
 
     # --- pure rollout (inference + env stepping) ---
+    # tables is a jit ARGUMENT: closing over the packed world embeds it as
+    # an XLA constant (~100x compile-time and ~10x run-time penalty measured)
     @jax.jit
-    def rollout(params, ep, rng):
+    def rollout(tables, params, ep, rng):
         _, result, _ = agent.rollout(params, {}, tables, ep, rng,
                                      feedback=FEEDBACK_ARGMAX, train=False)
         return result.final_state.node
@@ -102,36 +121,43 @@ def bench_device(world, henv, tok):
     # in the real training loop (async dispatch), so it is excluded here
     batches = [henv.next_batch() for _ in range(iters)]
     t0 = time.time()
-    jax.block_until_ready(rollout(params, batches[0], rng))
+    jax.block_until_ready(rollout(tables, params, batches[0], rng))
     log(f"rollout compile: {time.time()-t0:.1f}s")
     t0 = time.time()
     for i in range(iters):
         rng, r = jax.random.split(rng)
-        out = rollout(params, batches[i], r)
+        out = rollout(tables, params, batches[i], r)
     jax.block_until_ready(out)
     dt = time.time() - t0
     rollout_sps = BATCH * EPISODE_LEN * iters / dt
     log(f"device rollout: {rollout_sps:,.0f} steps/s  ({dt/iters*1000:.1f} ms / {BATCH}x{EPISODE_LEN} rollout)")
 
     # --- full training step (IL teacher + RL sample + grads + update) ---
-    opt = make_optimizer("rms", 1e-4)
-    opt_state = opt.init(params)
-    step = build_train_step(agent, tables, opt, feedback="sample")
-    t0 = time.time()
-    params, opt_state, mstate, logs = step(params, opt_state, mstate, batches[0],
-                                           jax.random.PRNGKey(2))
-    jax.block_until_ready(logs["loss"])
-    log(f"train-step compile: {time.time()-t0:.1f}s")
-    iters_t = 10
-    t0 = time.time()
-    for i in range(iters_t):
-        rng, r = jax.random.split(rng)
-        params, opt_state, mstate, logs = step(params, opt_state, mstate, batches[i], r)
-    jax.block_until_ready(logs["loss"])
-    dt_t = time.time() - t0
-    # each iteration rolls out twice (IL + RL) and runs fwd+bwd
-    train_sps = BATCH * EPISODE_LEN * 2 * iters_t / dt_t
-    log(f"train step: {dt_t/iters_t*1000:.1f} ms/iter -> {train_sps:,.0f} rollout-steps/s incl. grads")
+    train_sps = None
+    if remaining() > 240:
+        try:
+            opt = make_optimizer("rms", 1e-4)
+            opt_state = opt.init(params)
+            step = build_train_step(agent, opt, feedback="sample")
+            t0 = time.time()
+            params, opt_state, mstate, logs = step(tables, params, opt_state, mstate,
+                                                   batches[0], jax.random.PRNGKey(2))
+            jax.block_until_ready(logs["loss"])
+            log(f"train-step compile: {time.time()-t0:.1f}s")
+            iters_t = 10
+            t0 = time.time()
+            for i in range(iters_t):
+                rng, r = jax.random.split(rng)
+                params, opt_state, mstate, logs = step(tables, params, opt_state, mstate, batches[i], r)
+            jax.block_until_ready(logs["loss"])
+            dt_t = time.time() - t0
+            # each iteration rolls out twice (IL + RL) and runs fwd+bwd
+            train_sps = BATCH * EPISODE_LEN * 2 * iters_t / dt_t
+            log(f"train step: {dt_t/iters_t*1000:.1f} ms/iter -> {train_sps:,.0f} rollout-steps/s incl. grads")
+        except Exception as e:
+            log(f"train-step measurement skipped: {e}")
+    else:
+        log(f"train-step measurement skipped (only {remaining():.0f}s budget left)")
     return rollout_sps, train_sps
 
 
@@ -226,12 +252,12 @@ def bench_host_baseline(world, graphs, henv):
 
 def main():
     world, graphs, henv, tok = build_universe()
-    rollout_sps, train_sps = bench_device(world, henv, tok)
     try:
         baseline_sps = bench_host_baseline(world, graphs, henv)
     except Exception as e:  # baseline must never sink the benchmark
         log(f"baseline failed: {e}")
         baseline_sps = None
+    rollout_sps, train_sps = bench_device(world, henv, tok)
 
     vs = (rollout_sps / baseline_sps) if baseline_sps else float("nan")
     print(json.dumps({
@@ -240,7 +266,7 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(vs, 2) if baseline_sps else None,
         "detail": {
-            "train_steps_per_sec_incl_grads": round(train_sps, 1),
+            "train_steps_per_sec_incl_grads": round(train_sps, 1) if train_sps else None,
             "host_loop_baseline_steps_per_sec": round(baseline_sps, 1) if baseline_sps else None,
             "batch": BATCH, "episode_len": EPISODE_LEN,
         },

@@ -56,16 +56,18 @@ def _make_state(nodes: jnp.ndarray, views: jnp.ndarray, B: int) -> EnvState:
     )
 
 
-def make_beam_decoder(agent, params, model_state, tables: WorldTables, ctx, ctx_mask):
+def make_beam_decoder(agent, model_state):
     """Jitted single decode step over a batch of gathered search states.
 
-    Returns fn(nodes, views, carry) -> (log_probs [B,K], new_carry,
-    pano_feat, cand_feat, argmax_action)."""
+    Returns fn(tables, params, ctx, ctx_mask, nodes, views, carry) ->
+    (log_probs [B,K], new_carry, pano_feat, cand_feat, argmax_action).
+    World tables / params / ctx are call-time arguments so they compile
+    as parameters, not embedded constants."""
     name = agent.name
     rng = jax.random.PRNGKey(0)  # eval mode: rng unused by dropout
 
     @jax.jit
-    def decode(nodes, views, carry):
+    def decode(tables, params, ctx, ctx_mask, nodes, views, carry):
         B = nodes.shape[0]
         state = _make_state(nodes, views, B)
         obs = E.observe(tables, state)
@@ -135,7 +137,7 @@ class BeamSearch:
         ctx, h0, c0 = encoder_apply(
             params["encoder"], ep.instr_tokens, ep.instr_len,
             jax.random.PRNGKey(0), train=False, drop_rate=agent.cfg.DROP_RATE)
-        decode = make_beam_decoder(agent, params, model_state, tables, ctx, ctx_mask)
+        decode = make_beam_decoder(agent, model_state)
 
         item_idx = np.asarray(ep.item_idx)
         start_nodes = np.asarray(ep.start_node)
@@ -224,6 +226,7 @@ class BeamSearch:
 
             # (5) one decode step for the whole frontier
             logp, new_carry, pano, cand_feat, _ = decode(
+                tables, params, ctx, ctx_mask,
                 jnp.asarray(nodes), jnp.asarray(views), tuple(jnp.asarray(x) for x in carry))
             logp = np.asarray(logp)
             pano = np.asarray(pano)

@@ -202,7 +202,7 @@ class Speaker:
     def train_steps(self, params, opt_state, world: WorldTables, henv, rng, iters: int):
         """Teacher-forcing training (ref: speaker.py:75-88)."""
         @jax.jit
-        def one_step(params, opt_state, ep, rng):
+        def one_step(world, params, opt_state, ep, rng):
             feats = collect_shortest_path_features(world, ep, self.episode_len)
 
             def loss_fn(p):
@@ -217,7 +217,7 @@ class Speaker:
         for _ in range(iters):
             ep = henv.next_batch()
             rng, r = jax.random.split(rng)
-            params, opt_state, loss = one_step(params, opt_state, ep, r)
+            params, opt_state, loss = one_step(world, params, opt_state, ep, r)
             losses.append(float(loss))
         return params, opt_state, losses
 

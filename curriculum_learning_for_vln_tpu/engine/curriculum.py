@@ -157,10 +157,10 @@ class SelfPacedCurriculum:
             start_epoch = bundle.get("epoch", 0) + 1
 
         train_step = build_train_step(
-            agent, tables, optimizer, cfg.AGENT.FEEDBACK,
+            agent, optimizer, cfg.AGENT.FEEDBACK,
             progmonitor_weight=train_cfg.PROGMONITOR_WEIGHT, weighted=True,
         )
-        eval_rollout = build_eval_rollout(agent, tables)
+        eval_rollout = build_eval_rollout(agent)
         valid_evaluator = {
             key: Evaluation(env.world, dedup_by_path(env.data)) for key, env in valid_env.items()
         }
@@ -179,7 +179,7 @@ class SelfPacedCurriculum:
                 w_batch = self.weight[idx]
                 rng, rng_it = jax.random.split(rng)
                 params, opt_state, model_state, logs = train_step(
-                    params, opt_state, model_state, batch, rng_it, w_batch
+                    tables, params, opt_state, model_state, batch, rng_it, w_batch
                 )
                 record_losses.append(float(logs["loss"]))
                 # record latest per-item loss (ref: curriculum.py:310-314)

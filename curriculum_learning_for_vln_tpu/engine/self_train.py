@@ -37,7 +37,7 @@ def pretrain_speaker(cfg, speaker: Speaker, tables, train_env, rng, iters: int):
     return params, opt_state, losses
 
 
-def build_backtranslation_step(agent, tables, optimizer):
+def build_backtranslation_step(agent, optimizer):
     """Compiled EnvDrop step over speaker-generated instructions: IL+RL on
     the modified batch with the shared feature-noise mask."""
     import jax.numpy as jnp
@@ -46,7 +46,7 @@ def build_backtranslation_step(agent, tables, optimizer):
     from ..agents.common import FEEDBACK_SAMPLE, FEEDBACK_TEACHER
     from .loop import clip_submodule_grads
 
-    def step(params, opt_state, model_state, ep, rng, feat_mask):
+    def step(tables, params, opt_state, model_state, ep, rng, feat_mask):
         def loss_fn(p):
             rng_il, rng_rl = jax.random.split(rng)
             il, _, ms = agent.rollout(
@@ -66,7 +66,7 @@ def build_backtranslation_step(agent, tables, optimizer):
         params = optax.apply_updates(params, updates)
         return params, opt_state, ms, {"loss": total}
 
-    return jax.jit(step, donate_argnums=(0, 1))
+    return jax.jit(step, donate_argnums=(1, 2))
 
 
 def self_train(cfg, agent, speaker: Speaker, train_env, aug_env, tables,
@@ -84,8 +84,8 @@ def self_train(cfg, agent, speaker: Speaker, train_env, aug_env, tables,
     params, model_state = agent.init(r_agent)
     optimizer = make_optimizer(cfg.TRAIN.OPTIM, cfg.TRAIN.LR)
     opt_state = optimizer.init(params)
-    real_step = build_train_step(agent, tables, optimizer, "sample")
-    bt_step = build_backtranslation_step(agent, tables, optimizer)
+    real_step = build_train_step(agent, optimizer, "sample")
+    bt_step = build_backtranslation_step(agent, optimizer)
 
     iters = iters_per_epoch or cfg.TRAIN.ITER_PER_EPOCH
     losses = {"real": [], "bt": []}
@@ -95,7 +95,7 @@ def self_train(cfg, agent, speaker: Speaker, train_env, aug_env, tables,
             if it % 2 == 0:  # real instructions
                 batch = train_env.next_batch()
                 params, opt_state, model_state, logs = real_step(
-                    params, opt_state, model_state, batch, r1)
+                    tables, params, opt_state, model_state, batch, r1)
                 losses["real"].append(float(logs["loss"]))
             else:  # back-translated
                 batch = aug_env.next_batch()
@@ -104,7 +104,7 @@ def self_train(cfg, agent, speaker: Speaker, train_env, aug_env, tables,
                     enc_len=int(batch.instr_tokens.shape[1]), rng=r2,
                     feat_dim=agent.img_feat_size)
                 params, opt_state, model_state, logs = bt_step(
-                    params, opt_state, model_state, new_ep, r3, noise)
+                    tables, params, opt_state, model_state, new_ep, r3, noise)
                 losses["bt"].append(float(logs["loss"]))
         logger.info("self-train epoch %d: real %.4f bt %.4f", ep_i,
                     np.mean(losses["real"][-iters // 2:]),

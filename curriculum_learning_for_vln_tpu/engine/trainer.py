@@ -92,10 +92,10 @@ class ClassicTrainer:
             start_epoch = bundle.get("epoch", 0) + 1
 
         train_step = build_train_step(
-            agent, tables, optimizer, cfg.AGENT.FEEDBACK,
+            agent, optimizer, cfg.AGENT.FEEDBACK,
             progmonitor_weight=train_cfg.PROGMONITOR_WEIGHT,
         )
-        eval_rollout = build_eval_rollout(agent, tables)
+        eval_rollout = build_eval_rollout(agent)
 
         valid_evaluator = {
             key: Evaluation(env.world, dedup_by_path(env.data)) for key, env in valid_env.items()
@@ -124,7 +124,7 @@ class ClassicTrainer:
                 batch = epoch_env.next_batch()
                 rng, rng_it = jax.random.split(rng)
                 params, opt_state, model_state, logs = train_step(
-                    params, opt_state, model_state, batch, rng_it
+                    tables, params, opt_state, model_state, batch, rng_it
                 )
                 epoch_losses.append(float(logs["loss"]))
                 for k in extra_logs:

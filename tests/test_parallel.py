@@ -48,19 +48,19 @@ def test_dp_train_step_matches_single_device(synth_world, synth_dataset, tokeniz
     copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
 
     # single device
-    step1 = build_train_step(agent, tables, opt, "teacher")
-    p1, o1, _, logs1 = step1(copy(params), copy(opt_state), mstate, ep, rng)
+    step1 = build_train_step(agent, opt, "teacher")
+    p1, o1, _, logs1 = step1(tables, copy(params), copy(opt_state), mstate, ep, rng)
 
     # 8-device data-parallel
     mesh = M.make_mesh()
-    step8_raw = build_train_step(agent, tables, opt, "teacher")
+    step8_raw = build_train_step(agent, opt, "teacher")
     # re-jit with shardings: build unjitted closure via the same builder
     from curriculum_learning_for_vln_tpu.engine.loop import build_train_step as bts
     step8 = step8_raw  # the jitted fn accepts sharded inputs transparently
     ep_sharded = M.shard_batch(ep, mesh)
     params_r = M.replicate(params, mesh)
     opt_r = M.replicate(opt_state, mesh)
-    p8, o8, _, logs8 = step8(params_r, opt_r, mstate, ep_sharded, rng)
+    p8, o8, _, logs8 = step8(M.replicate(tables, mesh), params_r, opt_r, mstate, ep_sharded, rng)
 
     assert np.allclose(float(logs1["loss"]), float(logs8["loss"]), atol=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p8)):

@@ -173,6 +173,7 @@ class SelfPacedCurriculum:
 
         for ep in range(start_epoch, train_cfg.MAX_EPOCH + 1):
             record_losses = []
+            device_losses = []
             for _ in range(iters):
                 batch = train_env.next_batch()
                 idx = jnp.asarray(train_env.cur_batch_index)
@@ -181,9 +182,10 @@ class SelfPacedCurriculum:
                 params, opt_state, model_state, logs = train_step(
                     tables, params, opt_state, model_state, batch, rng_it, w_batch
                 )
-                record_losses.append(float(logs["loss"]))
+                device_losses.append(logs["loss"])  # sync deferred to epoch end
                 # record latest per-item loss (ref: curriculum.py:310-314)
                 loss_for_item = loss_for_item.at[idx].set(logs["loss_per_sample"])
+            record_losses = [float(x) for x in jax.device_get(device_losses)]
 
             epoch_loss = sum(record_losses)
             avg_iter = epoch_loss / len(record_losses)

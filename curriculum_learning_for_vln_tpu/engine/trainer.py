@@ -118,18 +118,23 @@ class ClassicTrainer:
 
         for ep in range(start_epoch, train_cfg.MAX_EPOCH + 1):
             epoch_env = self.select_env(train_env, ep)
-            epoch_losses = []
-            extra_logs = {"entropy": 0.0, "critic_loss": 0.0, "total_actions": 0.0, "progress_loss": 0.0}
+            # keep per-iteration logs on device; a float() per iteration
+            # would force a device sync each step and serialize the loop
+            device_logs = []
             for _ in range(iters):
                 batch = epoch_env.next_batch()
                 rng, rng_it = jax.random.split(rng)
                 params, opt_state, model_state, logs = train_step(
                     tables, params, opt_state, model_state, batch, rng_it
                 )
-                epoch_losses.append(float(logs["loss"]))
+                device_logs.append({k: v for k, v in logs.items() if k != "loss_per_sample"})
+            host_logs = jax.device_get(device_logs)
+            epoch_losses = [float(l["loss"]) for l in host_logs]
+            extra_logs = {"entropy": 0.0, "critic_loss": 0.0, "total_actions": 0.0, "progress_loss": 0.0}
+            for l in host_logs:
                 for k in extra_logs:
-                    if k in logs:
-                        extra_logs[k] += float(logs[k])
+                    if k in l:
+                        extra_logs[k] += float(l[k])
 
             epoch_loss = sum(epoch_losses)
             avg_iter = epoch_loss / len(epoch_losses)

@@ -63,7 +63,24 @@ def main(args, cfg):
         else:
             trainer = engine.ClassicTrainer()
             logger.info("Using Classic trainer")
-        trainer.train(cfg, agent, cfg.OUTPUT.TSBOARD_DIR, train_env, valid_env, seed=args.seed)
+
+        eval_train_env = None
+        if cfg.TRAIN.EVAL_TRAIN and not cfg.TPU.SYNTHETIC_WORLD:
+            # per-round train-split evaluation envs (ref: main.py:116-123)
+            from curriculum_learning_for_vln_tpu.data import datasets as DS
+            from curriculum_learning_for_vln_tpu.env.host_env import R2RBatchEnv
+
+            clr_dir = cfg.DATA.DATA_DIR if cfg.DATA.NAME == "CLR2R" else "assets/CLR2Rv3"
+            eval_train_env = {}
+            for k in range(1, 6):
+                items = DS.load_datasets([DS.clr2r_split_name(k)], "CLR2R", clr_dir)
+                expanded = DS.expand_r2r_items(items, tok, set(world.scan_ids))
+                eval_train_env[f"round_{k}"] = R2RBatchEnv(
+                    world, expanded, cfg.TRAIN.BATCH_SIZE * 2, tok, args.seed + 100 + k, "train")
+
+        trainer.train(cfg, agent, cfg.OUTPUT.TSBOARD_DIR, train_env, valid_env,
+                      eval_train=eval_train_env is not None, eval_train_env=eval_train_env,
+                      seed=args.seed)
     except Exception:
         s = traceback.format_exc()
         print(s)

@@ -221,6 +221,60 @@ class Speaker:
             losses.append(float(loss))
         return params, opt_state, losses
 
+    def get_insts(self, params, world: WorldTables, henv, rng, tokenizer=None):
+        """Generate one instruction per path over the whole dataset
+        (ref: speaker.py:90-102).  Returns path_id -> token ids (shrunk of
+        BOS/EOS when a tokenizer is provided)."""
+        path2inst = {}
+        for ep in henv.eval_batches():
+            rng, r = jax.random.split(rng)
+            words = np.asarray(self.infer_batch(params, world, ep, r))
+            idx = np.asarray(ep.item_idx)
+            valid = np.asarray(ep.valid)
+            for b in range(len(idx)):
+                if not valid[b]:
+                    continue
+                path_id = henv.data[int(idx[b])]["path_id"]
+                if path_id not in path2inst:
+                    inst = words[b].tolist()
+                    path2inst[path_id] = tokenizer.shrink(inst) if tokenizer else inst
+        return path2inst
+
+    def valid(self, params, world: WorldTables, henv, rng, tokenizer=None, n_batches: int = 3):
+        """Teacher-forcing evaluation metrics (ref: speaker.py:104-123,
+        280-290): returns (path2inst, loss, word_accu, sent_accu)."""
+        path2inst = self.get_insts(params, world, henv, jax.random.fold_in(rng, 0), tokenizer)
+
+        losses, word_correct, word_total, sent_correct, sent_total = [], 0, 0, 0, 0
+        it = henv.eval_batches()
+        for _ in range(n_batches):
+            try:
+                ep = next(it)
+            except StopIteration:
+                break
+            feats = collect_shortest_path_features(world, ep, self.episode_len)
+            rng, r1, r2 = jax.random.split(rng, 3)
+            losses.append(float(self.teacher_forcing_loss(
+                params, feats, ep.instr_tokens, r1, train=False)))
+            ctx, ctx_mask = self._encode(params, feats, r2, train=False)
+            B = ep.instr_tokens.shape[0]
+            h0 = jnp.zeros((B, self.cfg.RNN_DIM))
+            logits, _, _ = speaker_decoder_apply(
+                params["decoder"], ep.instr_tokens, ctx, ctx_mask, h0, h0,
+                jax.random.fold_in(rng, 3), train=False, drop_rate=self.cfg.DROPOUT)
+            predict = np.asarray(jnp.argmax(logits, axis=-1))
+            insts = np.asarray(ep.instr_tokens)
+            gt_mask = insts != PAD_IDX
+            correct = (predict[:, :-1] == insts[:, 1:]) & gt_mask[:, 1:]
+            word_correct += int(correct.sum())
+            word_total += int(gt_mask[:, 1:].sum())
+            sent_correct += int((correct.sum(1) == gt_mask[:, 1:].sum(1)).sum())
+            sent_total += B
+        loss = float(np.mean(losses)) if losses else 0.0
+        word_accu = word_correct / max(word_total, 1)
+        sent_accu = sent_correct / max(sent_total, 1)
+        return path2inst, loss, word_accu, sent_accu
+
     def infer_batch(self, params, world: WorldTables, ep: EpisodeBatch, rng,
                     sampling: bool = False, feat_mask: Optional[jnp.ndarray] = None):
         """Generate instructions for a batch's shortest paths — the

@@ -108,28 +108,13 @@ def masked_lstm(
     returned final state is the state after the last *valid* token
     (forward) or after position 0 having processed tokens len-1..0
     (reverse) — the backward direction never reads padding.
+
+    Routed through ops.rnn: under the "pallas" backend this runs the
+    fused VMEM-resident-weights kernel with an XLA-recompute VJP.
     """
-    B, L, D = xs.shape
-    H = p["w_hh"].shape[0]
-    h0 = jnp.zeros((B, H), xs.dtype)
-    c0 = jnp.zeros((B, H), xs.dtype)
-
-    def step(carry, t):
-        h, c = carry
-        idx = (L - 1 - t) if reverse else t
-        x_t = xs[:, idx]
-        h_new, c_new = rnn_ops.lstm_cell(x_t, h, c, p["w_ih"], p["w_hh"], p["b_ih"] + p["b_hh"])
-        valid = (idx < lengths)[:, None]
-        h = jnp.where(valid, h_new, h)
-        c = jnp.where(valid, c_new, c)
-        out = jnp.where(valid, h_new, 0.0)
-        return (h, c), out
-
-    (h, c), outs = jax.lax.scan(step, (h0, c0), jnp.arange(L))
-    outs = jnp.swapaxes(outs, 0, 1)  # [B, L, H]
-    if reverse:
-        outs = outs[:, ::-1]
-    return outs, (h, c)
+    return rnn_ops.masked_lstm(
+        xs, lengths, p["w_ih"], p["w_hh"], p["b_ih"] + p["b_hh"], reverse=reverse
+    )
 
 
 def bilstm_layer(

@@ -51,7 +51,16 @@ def lstm_cell_pallas(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     B, Din = x.shape
     H = h.shape[-1]
+    # choose the hidden tile so the per-step VMEM working set stays under
+    # the 16 MB limit: the weight blocks dominate ((Din + H) * 4 * TH * 4B)
+    # and Mosaic double-buffers every input block, hence the ~5.5 MB budget
+    budget = int(5.5 * 1024 * 1024)
+    max_th = max(128, budget // ((Din + H) * 4 * 4))
     TH = min(H, 256)
+    while TH > 128 and TH > max_th:
+        TH //= 2
+    while H % TH != 0 and TH > 8:
+        TH //= 2
     assert H % TH == 0, f"hidden {H} not divisible by tile {TH}"
     grid = (H // TH,)
 

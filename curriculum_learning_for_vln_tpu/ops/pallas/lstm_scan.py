@@ -34,7 +34,7 @@ def _kernel(reverse: bool, L: int, lengths_ref, x_ref, wih_ref, whh_ref, b_ref,
         h_scr[:] = jnp.zeros_like(h_scr)
         c_scr[:] = jnp.zeros_like(c_scr)
 
-    x = x_ref[:, 0, :]
+    x = x_ref[0, :, :]  # time-major blocks: [1, B, D]
     h = h_scr[:]
     c = c_scr[:]
     H = h.shape[-1]
@@ -55,7 +55,7 @@ def _kernel(reverse: bool, L: int, lengths_ref, x_ref, wih_ref, whh_ref, b_ref,
     valid = (t < lengths_ref[:, 0])[:, None]
     h_scr[:] = jnp.where(valid, h_new, h)
     c_scr[:] = jnp.where(valid, c_new, c)
-    out_ref[:, 0, :] = jnp.where(valid, h_new, 0.0).astype(out_ref.dtype)
+    out_ref[0, :, :] = jnp.where(valid, h_new, 0.0).astype(out_ref.dtype)
 
     @pl.when(l == L - 1)
     def _():
@@ -76,29 +76,31 @@ def lstm_scan_pallas(
     B, L, D = xs.shape
     H = w_hh.shape[0]
     lengths2 = lengths.astype(jnp.int32).reshape(B, 1)
+    xs_tm = jnp.swapaxes(xs, 0, 1)  # [L, B, D] time-major (TPU block tiling
+    # requires the last two block dims aligned/full; time becomes the grid)
 
     if reverse:
-        x_index = lambda l: (0, L - 1 - l, 0)
+        x_index = lambda l: (L - 1 - l, 0, 0)
     else:
-        x_index = lambda l: (0, l, 0)
+        x_index = lambda l: (l, 0, 0)
 
-    outs, hT, cT = pl.pallas_call(
+    outs_tm, hT, cT = pl.pallas_call(
         functools.partial(_kernel, reverse, L),
         grid=(L,),
         in_specs=[
             pl.BlockSpec((B, 1), lambda l: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 1, D), x_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, D), x_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((D, 4 * H), lambda l: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((H, 4 * H), lambda l: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4 * H), lambda l: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((B, 1, H), x_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), x_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), lambda l: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), lambda l: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, L, H), xs.dtype),
+            jax.ShapeDtypeStruct((L, B, H), xs.dtype),
             jax.ShapeDtypeStruct((B, H), xs.dtype),
             jax.ShapeDtypeStruct((B, H), xs.dtype),
         ],
@@ -107,8 +109,5 @@ def lstm_scan_pallas(
             pltpu.VMEM((B, H), jnp.float32),
         ],
         interpret=interpret,
-    )(lengths2, xs, w_ih, w_hh, b.reshape(1, 4 * H))
-    if reverse:
-        # blocks were written at positions L-1-l, i.e. already time-ordered
-        pass
-    return outs, (hT, cT)
+    )(lengths2, xs_tm, w_ih, w_hh, b.reshape(1, 4 * H))
+    return jnp.swapaxes(outs_tm, 0, 1), (hT, cT)

@@ -189,3 +189,37 @@ def test_pallas_lstm_scan_interpret_matches_masked_lstm(rng):
         assert np.allclose(np.asarray(out_p), np.asarray(out_ref), atol=1e-5), reverse
         assert np.allclose(np.asarray(h_p), np.asarray(h_ref), atol=1e-5), reverse
         assert np.allclose(np.asarray(c_p), np.asarray(c_ref), atol=1e-5), reverse
+
+
+def test_pallas_backend_masked_lstm_gradients(rng):
+    """The pallas masked-lstm path (interpret mode on CPU) matches the XLA
+    path in both value and gradient via the XLA-recompute VJP."""
+    from curriculum_learning_for_vln_tpu.ops import rnn as rnn_ops
+
+    B, L, Din, H = 3, 5, 8, 8
+    xs = jnp.asarray(rng.standard_normal((B, L, Din)).astype(np.float32) * 0.3)
+    lengths = jnp.array([5, 3, 2], jnp.int32)
+    w_ih = jnp.asarray(rng.standard_normal((Din, 4 * H)).astype(np.float32) * 0.2)
+    w_hh = jnp.asarray(rng.standard_normal((H, 4 * H)).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.standard_normal((4 * H,)).astype(np.float32) * 0.1)
+
+    def loss_fn(w_ih, w_hh, b, xs):
+        outs, (h, c) = rnn_ops.masked_lstm(xs, lengths, w_ih, w_hh, b)
+        return jnp.sum(outs**2) + jnp.sum(h * c)
+
+    val_x, grads_x = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3))(w_ih, w_hh, b, xs)
+
+    # pallas backend in interpret mode (CPU tests)
+    import curriculum_learning_for_vln_tpu.ops.pallas.lstm_scan as LS
+    orig = LS.lstm_scan_pallas
+    LS.lstm_scan_pallas = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        rnn_ops.set_backend("pallas")
+        val_p, grads_p = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3))(w_ih, w_hh, b, xs)
+    finally:
+        rnn_ops.set_backend("xla")
+        LS.lstm_scan_pallas = orig
+
+    assert np.allclose(float(val_p), float(val_x), atol=1e-4)
+    for gp, gx in zip(grads_p, grads_x):
+        assert np.allclose(np.asarray(gp), np.asarray(gx), atol=1e-4)

@@ -151,3 +151,17 @@ def test_envdrop_backtranslation_rollout(ctx, tokenizer):
                                       train_ml=True, train_rl=True, feat_mask=noise)
     assert np.isfinite(float(losses.ml_loss))
     assert np.isfinite(float(losses.rl_loss))
+
+
+def test_get_insts_and_valid(ctx, tokenizer):
+    world, tables, henv = ctx
+    spk = make_speaker(tokenizer)
+    params, _ = spk.init(jax.random.PRNGKey(0))
+    path2inst, loss, word_accu, sent_accu = spk.valid(
+        params, tables, henv, jax.random.PRNGKey(5), tokenizer=tokenizer, n_batches=2)
+    # one instruction per path, shrunk of BOS/EOS
+    assert len(path2inst) > 0
+    for pid, inst in path2inst.items():
+        assert EOS_IDX not in inst and PAD_IDX not in inst
+    assert np.isfinite(loss) and loss > 0
+    assert 0.0 <= word_accu <= 1.0 and 0.0 <= sent_accu <= 1.0

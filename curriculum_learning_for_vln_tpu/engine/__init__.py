@@ -2,7 +2,7 @@
 from .checkpoint import load_checkpoint, save_checkpoint
 from .curriculum import NaiveCurriculum, SelfPacedCurriculum, spcl_update_lambda, spcl_update_weight
 from .evaluator import Evaluation
-from .loop import build_eval_rollout, build_train_step, make_optimizer, run_eval
+from .loop import build_eval_rollout, build_train_step, make_optimizer, run_eval, write_results
 from .self_train import build_backtranslation_step, pretrain_speaker, self_train
 from .trainer import ClassicTrainer, check_the_code, dedup_by_path
 
@@ -11,5 +11,5 @@ __all__ = [
     "check_the_code", "dedup_by_path", "build_train_step", "build_eval_rollout",
     "make_optimizer", "run_eval", "save_checkpoint", "load_checkpoint",
     "spcl_update_weight", "spcl_update_lambda", "self_train",
-    "pretrain_speaker", "build_backtranslation_step",
+    "pretrain_speaker", "build_backtranslation_step", "write_results",
 ]

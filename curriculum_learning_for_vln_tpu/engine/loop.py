@@ -145,6 +145,24 @@ def build_eval_rollout(agent) -> Callable:
     return jax.jit(roll)
 
 
+def write_results(results, results_dir: str, split: str = "train") -> str:
+    """Dump trajectories as a JSON results file
+    (ref: base.py:32-37; submission format evaluator.py:12-18)."""
+    import json
+    import os
+
+    os.makedirs(results_dir, exist_ok=True)
+    path = os.path.join(results_dir, f"{split}.json")
+    serializable = [
+        {"instr_id": r["instr_id"],
+         "trajectory": [[v, float(h), float(e)] for v, h, e in r["trajectory"]]}
+        for r in results
+    ]
+    with open(path, "w") as f:
+        json.dump(serializable, f)
+    return path
+
+
 def run_eval(
     agent,
     params,

@@ -111,3 +111,23 @@ def test_envdrop_trainer_runs(envs, tokenizer, tmp_path):
     )
     leaves = jax.tree_util.tree_leaves(params)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+
+
+def test_write_results_and_score_from_file(envs, synth_world, synth_dataset, tmp_path):
+    """Results JSON roundtrip: write trajectories, score the file
+    (the reference's write_results + Evaluation.score(file) path)."""
+    import jax
+
+    from curriculum_learning_for_vln_tpu.agents import TestAgent
+    from curriculum_learning_for_vln_tpu.engine import Evaluation, run_eval
+    from curriculum_learning_for_vln_tpu.engine.loop import write_results
+
+    _, valid = envs
+    henv = valid["val_seen"]
+    agent = TestAgent(episode_len=10)
+    results = run_eval(agent, {}, {}, synth_world.device_tables(), henv, jax.random.PRNGKey(0))
+    path = write_results(results, str(tmp_path), split="val_seen")
+    ev = Evaluation(synth_world, [it for it in synth_dataset
+                                  if it["path_id"] in {d["path_id"] for d in henv.data}])
+    summary, _ = ev.score(path)
+    assert summary["success_rate"] == 1.0

@@ -99,3 +99,35 @@ def test_beam_rollout_speaker_scores(ctx, tokenizer):
             assert "speaker_scores" in p
             assert "visual_feature" not in p
             assert np.all(np.asarray(p["speaker_scores"]) <= 1e-6)  # negative per-word losses
+
+
+def test_full_beam_search_split(ctx, tokenizer):
+    """beam_search over a whole split: one result per instr_id, each with
+    speaker-rescored candidate paths (ref: base.py:452-464)."""
+    from curriculum_learning_for_vln_tpu.env.host_env import R2RBatchEnv
+
+    world, tables, henv, data = ctx
+    small = data[:7]
+    env = R2RBatchEnv(world, small, batch_size=3, tokenizer=tokenizer, seed=2)
+
+    cfg = get_cfg_defaults()
+    m = cfg.MODEL.FOLLOWER
+    m.WORD_EMB_SIZE = 32
+    m.HIDDEN_SIZE = 64
+    m.ENC_LAYERS = 1
+    agent = FollowerAgent(m, tokenizer.vocab_size(), FEAT_DIM, episode_len=8)
+    params, mstate = agent.init(jax.random.PRNGKey(0))
+    s = cfg.AIDE.SPEAKER
+    s.RNN_DIM = 64
+    s.WEMB = 32
+    s.MAX_DECODE = 12
+    speaker = Speaker(s, tokenizer.vocab_size(), feat_dim=FEAT_DIM, episode_len=8)
+    spk_params, _ = speaker.init(jax.random.PRNGKey(1))
+
+    beam = BeamSearch(agent, world, tables, max_iters=30)
+    out = beam.beam_search(params, mstate, env, small, speaker, spk_params, beam_size=2)
+    assert set(out.keys()) == {it["instr_id"] for it in small}
+    for r in out.values():
+        assert len(r["paths"]) >= 1
+        for p in r["paths"]:
+            assert "speaker_scores" in p and "listener_scores" in p

@@ -131,3 +131,31 @@ def test_write_results_and_score_from_file(envs, synth_world, synth_dataset, tmp
                                   if it["path_id"] in {d["path_id"] for d in henv.data}])
     summary, _ = ev.score(path)
     assert summary["success_rate"] == 1.0
+
+
+def test_trainer_resume_continues(envs, tokenizer, tmp_path):
+    """OUTPUT.RESUME=latest restores params/optimizer/RNG/epoch and
+    continues — the reference loses optimizer+RNG state (SURVEY §5 gap)."""
+    cfg = tiny_cfg(tmp_path)
+    cfg.TRAIN.MAX_EPOCH = 2
+    cfg.TRAIN.EVAL_INTERVAL = 10
+    train_env, valid_env = envs
+    agent = build_agent(cfg, tokenizer.vocab_size(), FEAT_DIM)
+    trainer = ClassicTrainer()
+    trainer.train(cfg, agent, None, train_env, valid_env, seed=0, max_iters_override=3)
+
+    bundle = load_checkpoint(os.path.join(cfg.OUTPUT.CKPT_DIR, "latest.ckpt"))
+    assert bundle["epoch"] == 2
+    assert bundle["opt_state"] is not None  # optimizer state captured
+    assert bundle["rng"] is not None        # RNG captured
+
+    cfg2 = tiny_cfg(tmp_path)
+    cfg2.TRAIN.MAX_EPOCH = 3
+    cfg2.TRAIN.EVAL_INTERVAL = 10
+    cfg2.OUTPUT.RESUME = "latest"
+    agent2 = build_agent(cfg2, tokenizer.vocab_size(), FEAT_DIM)
+    params2, _, _ = ClassicTrainer().train(
+        cfg2, agent2, None, train_env, valid_env, seed=0, max_iters_override=3)
+    # resumed run trained exactly one more epoch (3) and saved it
+    bundle2 = load_checkpoint(os.path.join(cfg2.OUTPUT.CKPT_DIR, "latest.ckpt"))
+    assert bundle2["epoch"] == 3

@@ -112,6 +112,7 @@ class Speaker:
             optax.clip_by_global_norm(40.0),  # (ref: speaker.py:85-86)
             optax.adam(self.cfg.LR),
         )
+        self._jits = {}  # compiled composites keyed by static flags
 
     def init(self, key) -> Tuple[dict, dict]:
         k1, k2 = jax.random.split(key)
@@ -278,10 +279,21 @@ class Speaker:
     def infer_batch(self, params, world: WorldTables, ep: EpisodeBatch, rng,
                     sampling: bool = False, feat_mask: Optional[jnp.ndarray] = None):
         """Generate instructions for a batch's shortest paths — the
-        back-translation entry point (ref: envdrop.py:105-121)."""
-        feats = collect_shortest_path_features(world, ep, self.episode_len)
-        words, _ = self.infer(params, feats, rng, sampling=sampling, feat_mask=feat_mask)
-        return words
+        back-translation entry point (ref: envdrop.py:105-121).  The
+        feature-collection scan + decode scan compile into one program
+        (per (sampling, masked) flag combination)."""
+        masked = feat_mask is not None
+        key = ("infer_batch", sampling, masked)
+        if key not in self._jits:
+            def fn(world, params, ep, rng, mask):
+                feats = collect_shortest_path_features(world, ep, self.episode_len)
+                words, _ = self.infer(params, feats, rng, sampling=sampling,
+                                      feat_mask=mask if masked else None)
+                return words
+
+            self._jits[key] = jax.jit(fn)
+        mask_arg = feat_mask if masked else jnp.zeros((1,))
+        return self._jits[key](world, params, ep, rng, mask_arg)
 
     def make_drop_mask(self, rng, feat_dim: int) -> jnp.ndarray:
         """Shared environmental-drop noise for back-translation

@@ -27,9 +27,27 @@ from typing import Dict, Iterator, List, Optional, Sequence
 import jax.numpy as jnp
 import numpy as np
 
+import jax
+
 from ..utils.tokenizer import Tokenizer, split_sentence
 from ..world.compiler import CompiledWorld
 from .env import EpisodeBatch
+
+
+@jax.jit
+def _gather_batch(dev: dict, idx: jnp.ndarray, valid: jnp.ndarray) -> EpisodeBatch:
+    """One compiled gather for all episode fields (a single dispatch —
+    eager per-field gathers each cost a host->device round trip)."""
+    return EpisodeBatch(
+        instr_tokens=dev["instr_tokens"][idx],
+        instr_len=dev["instr_len"][idx],
+        start_node=dev["start_node"][idx],
+        start_heading=dev["start_heading"][idx],
+        goal=dev["goal"][idx],
+        goal_local=dev["goal_local"][idx],
+        item_idx=idx,
+        valid=valid,
+    )
 
 
 class R2RBatchEnv:
@@ -128,18 +146,8 @@ class R2RBatchEnv:
             order = np.argsort(-self.instr_len[idx], kind="stable")
             idx, valid = idx[order], valid[order]
         self._cur_indices, self._cur_valid = idx, valid
-        dev = self._device_arrays()
-        idx_d = jnp.asarray(idx.astype(np.int32))
-        return EpisodeBatch(
-            instr_tokens=dev["instr_tokens"][idx_d],
-            instr_len=dev["instr_len"][idx_d],
-            start_node=dev["start_node"][idx_d],
-            start_heading=dev["start_heading"][idx_d],
-            goal=dev["goal"][idx_d],
-            goal_local=dev["goal_local"][idx_d],
-            item_idx=idx_d,
-            valid=jnp.asarray(valid),
-        )
+        return _gather_batch(self._device_arrays(), jnp.asarray(idx.astype(np.int32)),
+                             jnp.asarray(valid))
 
     def next_batch(self, restart: bool = False, tile_one: bool = False) -> EpisodeBatch:
         """Next training minibatch; ``restart=True`` re-emits the current one
@@ -151,18 +159,8 @@ class R2RBatchEnv:
 
     def _make_batch_norestore(self) -> EpisodeBatch:
         idx, valid = self._cur_indices, self._cur_valid
-        dev = self._device_arrays()
-        idx_d = jnp.asarray(idx.astype(np.int32))
-        return EpisodeBatch(
-            instr_tokens=dev["instr_tokens"][idx_d],
-            instr_len=dev["instr_len"][idx_d],
-            start_node=dev["start_node"][idx_d],
-            start_heading=dev["start_heading"][idx_d],
-            goal=dev["goal"][idx_d],
-            goal_local=dev["goal_local"][idx_d],
-            item_idx=idx_d,
-            valid=jnp.asarray(valid),
-        )
+        return _gather_batch(self._device_arrays(), jnp.asarray(idx.astype(np.int32)),
+                             jnp.asarray(valid))
 
     def inject_batch(self, idx: np.ndarray, instr_tokens: np.ndarray, instr_len: np.ndarray) -> EpisodeBatch:
         """Current episodes with replaced instructions (back-translation path,

@@ -20,7 +20,6 @@ not behavioral:
 """
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax

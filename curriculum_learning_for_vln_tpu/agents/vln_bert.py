@@ -17,10 +17,9 @@ per-step location vector from the compiled world —
 """
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..models.vilbert import VilBertConfig, vlnbert_apply, vlnbert_init

@@ -12,7 +12,7 @@ import base64
 import csv
 import sys
 import time
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import numpy as np
 

@@ -21,7 +21,6 @@ from typing import Optional
 import jax
 import numpy as np
 
-from ..agents import FEEDBACK_IDS
 from ..agents.speaker import Speaker
 from .loop import build_train_step, make_optimizer
 
@@ -40,7 +39,6 @@ def pretrain_speaker(cfg, speaker: Speaker, tables, train_env, rng, iters: int):
 def build_backtranslation_step(agent, optimizer):
     """Compiled EnvDrop step over speaker-generated instructions: IL+RL on
     the modified batch with the shared feature-noise mask."""
-    import jax.numpy as jnp
     import optax
 
     from ..agents.common import FEEDBACK_SAMPLE, FEEDBACK_TEACHER

@@ -19,9 +19,7 @@ import time
 from typing import Dict, Optional
 
 import jax
-import numpy as np
 
-from ..agents.common import FEEDBACK_IDS
 from ..utils.logging_utils import ScalarWriter, clean_dir, prettyprint
 from .checkpoint import load_checkpoint, save_checkpoint
 from .evaluator import Evaluation

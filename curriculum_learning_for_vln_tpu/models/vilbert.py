@@ -27,13 +27,13 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .core import dense, dense_init, dropout
+from .core import dense, dropout
 
 
 @dataclasses.dataclass

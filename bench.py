@@ -176,74 +176,76 @@ def bench_host_baseline(world, graphs, henv):
     nworlds = {s: native.NativeWorld(g) for s, g in graphs.items()} if native.native_available() else None
     feat_store = {g: world.features[g] for g in range(world.num_nodes)}
 
-    idx = np.asarray(henv._next_indices())
-    scans = [world.scan_of(int(henv.start_node[i])) for i in idx]
-    sims = []
-    for b, i in enumerate(idx):
-        sim = native.GraphSim(nworlds[scans[b]])
-        start_local = int(world.node_local[henv.start_node[i]])
-        sim.new_episode(start_local, float(henv.start_heading[i]))
-        sims.append(sim)
-    goals = [int(henv.goal_local[i]) for i in idx]
-    offsets = {s: int(world.scan_offset[world.scan_ids.index(s)]) for s in set(scans)}
-
-    cand_cache = {}
-    ended = np.zeros(len(idx), dtype=bool)
+    # average over several batches: single-batch timings vary ~2x
     total_steps = 0
     t0 = time.time()
-    for t in range(EPISODE_LEN):
-        # observe: per-sample feature concat + candidate building (numpy)
-        feats = np.empty((len(idx), 36, FEAT_DIM + 128), np.float32)
-        actions = []
-        for b, sim in enumerate(sims):
-            st = sim.get_state()
-            g = offsets[scans[b]] + st["node"]
-            feats[b] = np.concatenate([feat_store[g], loc_embeds[st["viewIndex"]]], -1)
-            key = (scans[b], st["node"])
-            if key not in cand_cache:
-                n = int(world.n_cands[g])
-                cand_cache[key] = [
-                    (int(world.cand_next[g, j]) - offsets[scans[b]],
-                     float(world.cand_heading[g, j]), float(world.cand_elev[g, j]),
-                     int(world.cand_view[g, j])) for j in range(n)
+    for _round in range(4):
+        idx = np.asarray(henv._next_indices())
+        scans = [world.scan_of(int(henv.start_node[i])) for i in idx]
+        sims = []
+        for b, i in enumerate(idx):
+            sim = native.GraphSim(nworlds[scans[b]])
+            start_local = int(world.node_local[henv.start_node[i]])
+            sim.new_episode(start_local, float(henv.start_heading[i]))
+            sims.append(sim)
+        goals = [int(henv.goal_local[i]) for i in idx]
+        offsets = {s: int(world.scan_offset[world.scan_ids.index(s)]) for s in set(scans)}
+
+        cand_cache = {}
+        ended = np.zeros(len(idx), dtype=bool)
+        for t in range(EPISODE_LEN):
+            # observe: per-sample feature concat + candidate building (numpy)
+            feats = np.empty((len(idx), 36, FEAT_DIM + 128), np.float32)
+            actions = []
+            for b, sim in enumerate(sims):
+                st = sim.get_state()
+                g = offsets[scans[b]] + st["node"]
+                feats[b] = np.concatenate([feat_store[g], loc_embeds[st["viewIndex"]]], -1)
+                key = (scans[b], st["node"])
+                if key not in cand_cache:
+                    n = int(world.n_cands[g])
+                    cand_cache[key] = [
+                        (int(world.cand_next[g, j]) - offsets[scans[b]],
+                         float(world.cand_heading[g, j]), float(world.cand_elev[g, j]),
+                         int(world.cand_view[g, j])) for j in range(n)
+                    ]
+                base_heading = (st["viewIndex"] % 12) * ANGLE_INC
+                cand_feats = [
+                    np.concatenate([feat_store[g][v], make_angle_feat_np(h - base_heading, e)])
+                    for (_, h, e, v) in cand_cache[key]
                 ]
-            base_heading = (st["viewIndex"] % 12) * ANGLE_INC
-            cand_feats = [
-                np.concatenate([feat_store[g][v], make_angle_feat_np(h - base_heading, e)])
-                for (_, h, e, v) in cand_cache[key]
-            ]
-            # teacher action
-            teacher_next = int(world.next_hop[g, goals[b]]) - offsets[scans[b]]
-            a = -1
-            for j, (nxt, h, e, v) in enumerate(cand_cache[key]):
-                if nxt == teacher_next:
-                    a = j
-                    break
-            actions.append((a, cand_cache[key][a] if a >= 0 else None))
-        # step: turn-by-turn micro actions per sample (ref misc.py:366-390)
-        for b, sim in enumerate(sims):
-            if ended[b]:
-                continue
-            total_steps += 1
-            a, cand = actions[b]
-            if a < 0:
-                ended[b] = True
-                continue
-            st = sim.get_state()
-            target_view = cand[3]
-            dh = (target_view % 12) - (st["viewIndex"] % 12)
-            dh = (dh + 6) % 12 - 6
-            for _ in range(abs(dh)):
-                sim.make_action(0, np.sign(dh) * ANGLE_INC, 0)
-            de = target_view // 12 - st["viewIndex"] // 12
-            for _ in range(abs(de)):
-                sim.make_action(0, 0, np.sign(de) * ANGLE_INC)
-            nodes, rh, re = sim.navigable()
-            tgt = cand[0]
-            slot = int(np.where(nodes == tgt)[0][0])
-            sim.make_action(slot, 0, 0)
-        if ended.all():
-            break
+                # teacher action
+                teacher_next = int(world.next_hop[g, goals[b]]) - offsets[scans[b]]
+                a = -1
+                for j, (nxt, h, e, v) in enumerate(cand_cache[key]):
+                    if nxt == teacher_next:
+                        a = j
+                        break
+                actions.append((a, cand_cache[key][a] if a >= 0 else None))
+            # step: turn-by-turn micro actions per sample (ref misc.py:366-390)
+            for b, sim in enumerate(sims):
+                if ended[b]:
+                    continue
+                total_steps += 1
+                a, cand = actions[b]
+                if a < 0:
+                    ended[b] = True
+                    continue
+                st = sim.get_state()
+                target_view = cand[3]
+                dh = (target_view % 12) - (st["viewIndex"] % 12)
+                dh = (dh + 6) % 12 - 6
+                for _ in range(abs(dh)):
+                    sim.make_action(0, np.sign(dh) * ANGLE_INC, 0)
+                de = target_view // 12 - st["viewIndex"] // 12
+                for _ in range(abs(de)):
+                    sim.make_action(0, 0, np.sign(de) * ANGLE_INC)
+                nodes, rh, re = sim.navigable()
+                tgt = cand[0]
+                slot = int(np.where(nodes == tgt)[0][0])
+                sim.make_action(slot, 0, 0)
+            if ended.all():
+                break
     dt = time.time() - t0
     sps = total_steps / dt
     log(f"host-loop baseline: {sps:,.0f} env steps/s ({total_steps} steps in {dt:.2f}s)")

@@ -4,10 +4,11 @@ Headline metric (BASELINE.json): rollout steps/sec/chip for batched R2R
 episodes at the reference's EnvDrop configuration (batch 64, episode len
 35, 36x2048 features, hidden 512, 80-token instructions).
 
-Two measurements:
-* device rollout  — the TPU-native path: policy inference + env stepping
-  fused in one jitted lax.scan (argmax feedback, eval mode), plus the
-  full IL+RL training step for reference.
+Measurements:
+* device rollout — the TPU-native path: policy inference + env stepping
+  fused in one jitted lax.scan (argmax feedback, eval mode);
+* device training iteration — the full fused program: teacher-forced IL
+  rollout + sampled A2C rollout + backward + RMSprop update;
 * host-loop baseline — a faithful cost emulation of the reference
   architecture's environment path (one C++ sim per batch slot stepped
   sequentially from Python, per-sample candidate/feature packing in
@@ -15,6 +16,14 @@ Two measurements:
   with a zero-cost model (teacher actions).  This under-counts the
   reference's true per-step cost (no torch forward/backward), so
   ``vs_baseline`` is a conservative lower bound on the speedup.
+
+Timing methodology: when the device is reached through a network relay,
+per-dispatch timing (and even block_until_ready) can misreport
+completion.  Device work is therefore timed by running N iterations
+*inside* one jitted lax.scan, fetching a scalar result to the host, and
+differencing two scan lengths — round-trip latency cancels and the
+result is pure device time (each scan iteration is data-dependent on the
+previous one so the compiler cannot elide iterations).
 
 Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
 """
@@ -27,14 +36,9 @@ import time
 
 import numpy as np
 
-# soft wall-clock budget: the train-step measurement (biggest compile) is
-# skipped if the budget is nearly exhausted so the JSON line always lands
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "520"))
+# soft wall-clock budget so the JSON line always lands
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1200"))
 _T_START = time.time()
-
-
-def remaining():
-    return BUDGET_S - (time.time() - _T_START)
 
 BATCH = 64
 EPISODE_LEN = 35
@@ -43,6 +47,10 @@ FEAT_DIM = 2048
 HIDDEN = 512
 NUM_SCANS = 12
 NODES_PER_SCAN = 64
+
+
+def remaining():
+    return BUDGET_S - (time.time() - _T_START)
 
 
 def log(*a):
@@ -67,10 +75,32 @@ def build_universe():
     return world, graphs, henv, tok
 
 
+def _timed_fetch(fn, *args, reps: int = 3) -> float:
+    """Min wall time of fn(*args) forced to completion via a host fetch.
+    Retries transient remote-compile failures (relay contention)."""
+    for attempt in range(3):
+        try:
+            float(fn(*args))  # warmup / compile
+            break
+        except Exception as e:
+            if attempt == 2:
+                raise
+            log(f"warmup retry after: {e}")
+            time.sleep(5)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        float(fn(*args))
+        best = min(best, time.time() - t0)
+    return best
+
+
 def bench_device(world, henv, tok):
     import jax
+    import jax.numpy as jnp
+    import optax
 
-    try:  # persistent compile cache (works when the backend supports it)
+    try:  # persistent compile cache (harmless if the backend ignores it)
         jax.config.update("jax_compilation_cache_dir",
                           os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
@@ -78,17 +108,17 @@ def bench_device(world, henv, tok):
         pass
 
     from curriculum_learning_for_vln_tpu.agents import EnvDropAgent
-    from curriculum_learning_for_vln_tpu.agents.common import FEEDBACK_ARGMAX
-    from curriculum_learning_for_vln_tpu.engine.loop import build_train_step, make_optimizer
+    from curriculum_learning_for_vln_tpu.agents.common import (FEEDBACK_ARGMAX,
+                                                               FEEDBACK_SAMPLE,
+                                                               FEEDBACK_TEACHER)
+    from curriculum_learning_for_vln_tpu.engine.loop import (clip_submodule_grads,
+                                                             make_optimizer)
     from curriculum_learning_for_vln_tpu.utils.config import get_cfg_defaults
-
-    import jax.numpy as jnp
 
     platform = jax.devices()[0].platform
     log(f"device platform: {platform} ({jax.devices()[0]})")
     on_accel = platform != "cpu"
-    precision = "bf16" if on_accel else "f32"
-    tables = world.device_tables(precision)
+    tables = world.device_tables("bf16" if on_accel else "f32")
 
     cfg = get_cfg_defaults()
     m = cfg.MODEL.ENVDROP
@@ -103,61 +133,81 @@ def bench_device(world, henv, tok):
     agent = EnvDropAgent(m, max_enc_len=ENC_LEN, vocab_size=tok.vocab_size(),
                          feat_dim=FEAT_DIM, episode_len=EPISODE_LEN)
     if on_accel:
-        agent.compute_dtype = jnp.bfloat16  # keep feature-path traffic in bf16
+        agent.compute_dtype = jnp.bfloat16
     params, mstate = agent.init(jax.random.PRNGKey(0))
+    ep = henv.next_batch()
 
-    # --- pure rollout (inference + env stepping) ---
-    # tables is a jit ARGUMENT: closing over the packed world embeds it as
-    # an XLA constant (~100x compile-time and ~10x run-time penalty measured)
-    @jax.jit
-    def rollout(tables, params, ep, rng):
-        _, result, _ = agent.rollout(params, {}, tables, ep, rng,
-                                     feedback=FEEDBACK_ARGMAX, train=False)
-        return result.final_state.node
+    # --- pure rollout, RTT-cancelled inner-scan timing ---
+    def one_rollout(p, ep_in, rng):
+        _, r, _ = agent.rollout(p, {}, tables, ep_in, rng,
+                                feedback=FEEDBACK_ARGMAX, train=False)
+        return r.final_state.node
 
-    rng = jax.random.PRNGKey(1)
-    iters = 20
-    # pre-build episode batches: host batch assembly overlaps device compute
-    # in the real training loop (async dispatch), so it is excluded here
-    batches = [henv.next_batch() for _ in range(iters)]
+    def make_many_rollouts(n):
+        @jax.jit
+        def many(tables_, params_, ep_, rng):
+            def body(carry, r):
+                # data-dependent chain: heading jitter from the previous
+                # result (rounded away in reset, but not statically
+                # removable, so iterations cannot be elided)
+                ep2 = ep_._replace(start_heading=ep_.start_heading + 1e-9 * carry)
+                nodes = one_rollout(params_, ep2, r)
+                return jnp.sum(nodes).astype(jnp.float32), None
+            out, _ = jax.lax.scan(body, jnp.float32(0.0), jax.random.split(rng, n))
+            return out
+        return many
+
+    n1, n2 = 4, 20
     t0 = time.time()
-    jax.block_until_ready(rollout(tables, params, batches[0], rng))
-    log(f"rollout compile: {time.time()-t0:.1f}s")
-    t0 = time.time()
-    for i in range(iters):
-        rng, r = jax.random.split(rng)
-        out = rollout(tables, params, batches[i], r)
-    jax.block_until_ready(out)
-    dt = time.time() - t0
-    rollout_sps = BATCH * EPISODE_LEN * iters / dt
-    log(f"device rollout: {rollout_sps:,.0f} steps/s  ({dt/iters*1000:.1f} ms / {BATCH}x{EPISODE_LEN} rollout)")
+    t_small = _timed_fetch(make_many_rollouts(n1), tables, params, ep, jax.random.PRNGKey(1))
+    t_big = _timed_fetch(make_many_rollouts(n2), tables, params, ep, jax.random.PRNGKey(1))
+    per_rollout = max((t_big - t_small) / (n2 - n1), 1e-9)
+    rollout_sps = BATCH * EPISODE_LEN / per_rollout
+    log(f"device rollout: {per_rollout*1000:.2f} ms / {BATCH}x{EPISODE_LEN} rollout "
+        f"-> {rollout_sps:,.0f} steps/s  (setup+compile {time.time()-t0:.1f}s)")
 
-    # --- full training step (IL teacher + RL sample + grads + update) ---
+    # --- full training iteration, same methodology ---
     train_sps = None
-    if remaining() > 240:
+    if remaining() > 180:
         try:
             opt = make_optimizer("rms", 1e-4)
             opt_state = opt.init(params)
-            step = build_train_step(agent, opt, feedback="sample")
-            t0 = time.time()
-            params, opt_state, mstate, logs = step(tables, params, opt_state, mstate,
-                                                   batches[0], jax.random.PRNGKey(2))
-            jax.block_until_ready(logs["loss"])
-            log(f"train-step compile: {time.time()-t0:.1f}s")
-            iters_t = 10
-            t0 = time.time()
-            for i in range(iters_t):
-                rng, r = jax.random.split(rng)
-                params, opt_state, mstate, logs = step(tables, params, opt_state, mstate, batches[i], r)
-            jax.block_until_ready(logs["loss"])
-            dt_t = time.time() - t0
-            # each iteration rolls out twice (IL + RL) and runs fwd+bwd
-            train_sps = BATCH * EPISODE_LEN * 2 * iters_t / dt_t
-            log(f"train step: {dt_t/iters_t*1000:.1f} ms/iter -> {train_sps:,.0f} rollout-steps/s incl. grads")
+
+            def train_iter(carry, rng):
+                p, o = carry
+
+                def loss_fn(pp):
+                    il, _, _ = agent.rollout(pp, {}, tables, ep, rng,
+                                             feedback=FEEDBACK_TEACHER, train=True,
+                                             train_ml=True, train_rl=False)
+                    rl, _, _ = agent.rollout(pp, {}, tables, ep, jax.random.fold_in(rng, 1),
+                                             feedback=FEEDBACK_SAMPLE, train=True,
+                                             train_ml=False, train_rl=True)
+                    return il.ml_loss + rl.rl_loss
+
+                loss, grads = jax.value_and_grad(loss_fn)(p)
+                grads = clip_submodule_grads(grads, ("encoder", "decoder"), 40.0)
+                updates, o = opt.update(grads, o, p)
+                return (optax.apply_updates(p, updates), o), loss
+
+            def make_many_train(n):
+                @jax.jit
+                def many(params_, opt_state_, rng):
+                    (_, _), losses = jax.lax.scan(train_iter, (params_, opt_state_),
+                                                  jax.random.split(rng, n))
+                    return losses[-1]
+                return many
+
+            t_small = _timed_fetch(make_many_train(2), params, opt_state, jax.random.PRNGKey(2))
+            t_big = _timed_fetch(make_many_train(8), params, opt_state, jax.random.PRNGKey(2))
+            per_iter = max((t_big - t_small) / 6, 1e-9)
+            train_sps = BATCH * EPISODE_LEN * 2 / per_iter  # IL + RL rollouts per iter
+            log(f"train iteration (IL+RL+grads+update): {per_iter*1000:.2f} ms "
+                f"-> {train_sps:,.0f} rollout-steps/s")
         except Exception as e:
             log(f"train-step measurement skipped: {e}")
     else:
-        log(f"train-step measurement skipped (only {remaining():.0f}s budget left)")
+        log(f"train-step measurement skipped ({remaining():.0f}s budget left)")
     return rollout_sps, train_sps
 
 
@@ -169,32 +219,28 @@ def bench_host_baseline(world, graphs, henv):
     from curriculum_learning_for_vln_tpu.world import native
 
     if not native.native_available():
-        log("native graphworld unavailable; baseline uses pure-python sim")
+        log("native graphworld unavailable; baseline skipped")
+        return None
     loc_embeds = all_loc_embeddings()
-
-    # per-scan native worlds and feature store (like the reference's dicts)
-    nworlds = {s: native.NativeWorld(g) for s, g in graphs.items()} if native.native_available() else None
+    nworlds = {s: native.NativeWorld(g) for s, g in graphs.items()}
     feat_store = {g: world.features[g] for g in range(world.num_nodes)}
 
-    # average over several batches: single-batch timings vary ~2x
     total_steps = 0
     t0 = time.time()
-    for _round in range(4):
+    for _round in range(4):  # average several batches
         idx = np.asarray(henv._next_indices())
         scans = [world.scan_of(int(henv.start_node[i])) for i in idx]
         sims = []
         for b, i in enumerate(idx):
             sim = native.GraphSim(nworlds[scans[b]])
-            start_local = int(world.node_local[henv.start_node[i]])
-            sim.new_episode(start_local, float(henv.start_heading[i]))
+            sim.new_episode(int(world.node_local[henv.start_node[i]]),
+                            float(henv.start_heading[i]))
             sims.append(sim)
         goals = [int(henv.goal_local[i]) for i in idx]
         offsets = {s: int(world.scan_offset[world.scan_ids.index(s)]) for s in set(scans)}
-
         cand_cache = {}
         ended = np.zeros(len(idx), dtype=bool)
         for t in range(EPISODE_LEN):
-            # observe: per-sample feature concat + candidate building (numpy)
             feats = np.empty((len(idx), 36, FEAT_DIM + 128), np.float32)
             actions = []
             for b, sim in enumerate(sims):
@@ -207,14 +253,11 @@ def bench_host_baseline(world, graphs, henv):
                     cand_cache[key] = [
                         (int(world.cand_next[g, j]) - offsets[scans[b]],
                          float(world.cand_heading[g, j]), float(world.cand_elev[g, j]),
-                         int(world.cand_view[g, j])) for j in range(n)
-                    ]
+                         int(world.cand_view[g, j])) for j in range(n)]
                 base_heading = (st["viewIndex"] % 12) * ANGLE_INC
-                cand_feats = [
+                _cand_feats = [
                     np.concatenate([feat_store[g][v], make_angle_feat_np(h - base_heading, e)])
-                    for (_, h, e, v) in cand_cache[key]
-                ]
-                # teacher action
+                    for (_, h, e, v) in cand_cache[key]]
                 teacher_next = int(world.next_hop[g, goals[b]]) - offsets[scans[b]]
                 a = -1
                 for j, (nxt, h, e, v) in enumerate(cand_cache[key]):
@@ -222,7 +265,6 @@ def bench_host_baseline(world, graphs, henv):
                         a = j
                         break
                 actions.append((a, cand_cache[key][a] if a >= 0 else None))
-            # step: turn-by-turn micro actions per sample (ref misc.py:366-390)
             for b, sim in enumerate(sims):
                 if ended[b]:
                     continue
@@ -241,8 +283,7 @@ def bench_host_baseline(world, graphs, henv):
                 for _ in range(abs(de)):
                     sim.make_action(0, 0, np.sign(de) * ANGLE_INC)
                 nodes, rh, re = sim.navigable()
-                tgt = cand[0]
-                slot = int(np.where(nodes == tgt)[0][0])
+                slot = int(np.where(nodes == cand[0])[0][0])
                 sim.make_action(slot, 0, 0)
             if ended.all():
                 break
@@ -261,16 +302,17 @@ def main():
         baseline_sps = None
     rollout_sps, train_sps = bench_device(world, henv, tok)
 
-    vs = (rollout_sps / baseline_sps) if baseline_sps else float("nan")
+    vs = (rollout_sps / baseline_sps) if baseline_sps else None
     print(json.dumps({
         "metric": "rollout steps/sec/chip (batched R2R episodes, EnvDrop policy)",
         "value": round(rollout_sps, 1),
         "unit": "steps/s",
-        "vs_baseline": round(vs, 2) if baseline_sps else None,
+        "vs_baseline": round(vs, 2) if vs else None,
         "detail": {
             "train_steps_per_sec_incl_grads": round(train_sps, 1) if train_sps else None,
             "host_loop_baseline_steps_per_sec": round(baseline_sps, 1) if baseline_sps else None,
             "batch": BATCH, "episode_len": EPISODE_LEN,
+            "timing": "inner-scan differencing with host fetch (relay-RTT cancelled)",
         },
     }))
 

@@ -132,6 +132,75 @@ def build_train_step(
     return jax.jit(functools.partial(step, weights=None), donate_argnums=(1, 2))
 
 
+def build_scanned_train_step(
+    agent,
+    optimizer: optax.GradientTransformation,
+    feedback: str,
+    progmonitor_weight: float = 0.5,
+) -> Callable:
+    """K training iterations fused into ONE compiled dispatch.
+
+    (tables, params, opt_state, model_state, eps, rngs) ->
+    (params, opt_state, model_state, losses[K])
+
+    ``eps`` is an EpisodeBatch whose leaves carry a leading [K, B, ...]
+    iteration axis; ``rngs`` is [K, 2] PRNG keys.  Scanning the train step
+    on device removes per-iteration dispatch latency entirely — decisive
+    when the device sits behind a network relay (~100 ms RTT here), and
+    still saves host work on directly-attached chips.
+    """
+    fb = FEEDBACK_IDS[feedback]
+    name = agent.name
+
+    def one_iter(tables, model_state, params, opt_state, ep, rng):
+        if name == "ENVDROP":
+            def loss_fn(p):
+                rng_il, rng_rl = jax.random.split(rng)
+                il, _, ms = agent.rollout(p, model_state, tables, ep, rng_il,
+                                          feedback=FEEDBACK_TEACHER, train=True,
+                                          train_ml=True, train_rl=False)
+                if fb == FEEDBACK_SAMPLE:
+                    rl, _, _ = agent.rollout(p, model_state, tables, ep, rng_rl,
+                                             feedback=FEEDBACK_SAMPLE, train=True,
+                                             train_ml=False, train_rl=True)
+                    total = il.ml_loss + rl.rl_loss
+                else:
+                    total = il.ml_loss
+                return total, ms
+
+            (loss, ms), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            grads = clip_submodule_grads(grads, ("encoder", "decoder"), 40.0)
+        else:
+            def loss_fn(p):
+                kwargs = {"lamb": progmonitor_weight} if name == "SELF-MONITOR" else {}
+                losses, _, ms = agent.rollout(p, model_state, tables, ep, rng,
+                                              feedback=fb, train=True, **kwargs)
+                return agent.loss_fn(losses), ms
+
+            (loss, ms), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, ms, loss
+
+    def step(tables, params, opt_state, model_state, eps, rngs):
+        def body(carry, xs):
+            params, opt_state, ms = carry
+            ep, rng = xs
+            params, opt_state, ms, loss = one_iter(tables, ms, params, opt_state, ep, rng)
+            return (params, opt_state, ms), loss
+
+        (params, opt_state, ms), losses = jax.lax.scan(
+            body, (params, opt_state, model_state), (eps, rngs))
+        return params, opt_state, ms, losses
+
+    return jax.jit(step, donate_argnums=(1, 2))
+
+
+def stack_batches(batches):
+    """Stack K EpisodeBatches into one with a leading iteration axis."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
+
+
 def build_eval_rollout(agent) -> Callable:
     """Compiled argmax eval rollout: (tables, params, model_state, ep, rng)
     -> result."""

@@ -23,7 +23,8 @@ import jax
 from ..utils.logging_utils import ScalarWriter, clean_dir, prettyprint
 from .checkpoint import load_checkpoint, save_checkpoint
 from .evaluator import Evaluation
-from .loop import build_eval_rollout, build_train_step, make_optimizer, run_eval
+from .loop import (build_eval_rollout, build_scanned_train_step, build_train_step,
+                   make_optimizer, run_eval, stack_batches)
 
 logger = logging.getLogger("main.train")
 
@@ -89,6 +90,11 @@ class ClassicTrainer:
                 rng = jax.numpy.asarray(bundle["rng"])
             start_epoch = bundle.get("epoch", 0) + 1
 
+        scan_iters = getattr(cfg.TPU, "SCAN_ITERS", 1) if hasattr(cfg, "TPU") else 1
+        if scan_iters > 1:
+            scan_step = build_scanned_train_step(
+                agent, optimizer, cfg.AGENT.FEEDBACK,
+                progmonitor_weight=train_cfg.PROGMONITOR_WEIGHT)
         train_step = build_train_step(
             agent, optimizer, cfg.AGENT.FEEDBACK,
             progmonitor_weight=train_cfg.PROGMONITOR_WEIGHT,
@@ -119,15 +125,29 @@ class ClassicTrainer:
             # keep per-iteration logs on device; a float() per iteration
             # would force a device sync each step and serialize the loop
             device_logs = []
-            for _ in range(iters):
-                batch = epoch_env.next_batch()
-                rng, rng_it = jax.random.split(rng)
-                params, opt_state, model_state, logs = train_step(
-                    tables, params, opt_state, model_state, batch, rng_it
-                )
-                device_logs.append({k: v for k, v in logs.items() if k != "loss_per_sample"})
+            scanned_losses = []
+            it = 0
+            while it < iters:
+                if scan_iters > 1 and iters - it >= scan_iters:
+                    batches = stack_batches([epoch_env.next_batch() for _ in range(scan_iters)])
+                    rng, rng_it = jax.random.split(rng)
+                    rngs = jax.random.split(rng_it, scan_iters)
+                    params, opt_state, model_state, losses = scan_step(
+                        tables, params, opt_state, model_state, batches, rngs)
+                    scanned_losses.append(losses)
+                    it += scan_iters
+                else:
+                    batch = epoch_env.next_batch()
+                    rng, rng_it = jax.random.split(rng)
+                    params, opt_state, model_state, logs = train_step(
+                        tables, params, opt_state, model_state, batch, rng_it
+                    )
+                    device_logs.append({k: v for k, v in logs.items() if k != "loss_per_sample"})
+                    it += 1
             host_logs = jax.device_get(device_logs)
             epoch_losses = [float(l["loss"]) for l in host_logs]
+            for chunk in jax.device_get(scanned_losses):
+                epoch_losses.extend(float(x) for x in chunk)
             extra_logs = {"entropy": 0.0, "critic_loss": 0.0, "total_actions": 0.0, "progress_loss": 0.0}
             for l in host_logs:
                 for k in extra_logs:

@@ -264,6 +264,7 @@ _C.TPU.SYNTHETIC_WORLD = False             # use a synthetic world (no connectiv
 _C.TPU.SYNTHETIC_SCANS = 8
 _C.TPU.SYNTHETIC_NODES = 64
 _C.TPU.MAX_CANDIDATES = 16                 # static candidate-slot count (R2R max ~14)
+_C.TPU.SCAN_ITERS = 1                      # training iterations fused per dispatch (1 = off)
 
 
 def get_cfg_defaults() -> CfgNode:

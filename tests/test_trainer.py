@@ -159,3 +159,42 @@ def test_trainer_resume_continues(envs, tokenizer, tmp_path):
     # resumed run trained exactly one more epoch (3) and saved it
     bundle2 = load_checkpoint(os.path.join(cfg2.OUTPUT.CKPT_DIR, "latest.ckpt"))
     assert bundle2["epoch"] == 3
+
+
+def test_scanned_train_step_matches_sequential(envs, tokenizer):
+    """K iterations fused in one dispatch produce the same parameters as K
+    sequential train-step dispatches (same batches/rngs)."""
+    import jax.numpy as jnp
+
+    from curriculum_learning_for_vln_tpu.engine.loop import (build_scanned_train_step,
+                                                             build_train_step,
+                                                             make_optimizer, stack_batches)
+
+    cfg = get_cfg_defaults()
+    m = cfg.MODEL.FOLLOWER
+    m.WORD_EMB_SIZE = 32
+    m.HIDDEN_SIZE = 64
+    m.ENC_LAYERS = 1
+    train_env, _ = envs
+    agent = FollowerAgent(m, tokenizer.vocab_size(), FEAT_DIM, episode_len=6)
+    params, mstate = agent.init(jax.random.PRNGKey(0))
+    opt = make_optimizer("sgd", 1e-2)
+    opt_state = opt.init(params)
+    tables = train_env.world.device_tables()
+
+    batches = [train_env.next_batch() for _ in range(3)]
+    rngs = jax.random.split(jax.random.PRNGKey(7), 3)
+    copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
+
+    seq = build_train_step(agent, opt, "teacher")
+    p_seq, o_seq, ms_seq = copy(params), copy(opt_state), mstate
+    for b, r in zip(batches, rngs):
+        p_seq, o_seq, ms_seq, _ = seq(tables, p_seq, o_seq, ms_seq, b, r)
+
+    scan = build_scanned_train_step(agent, opt, "teacher")
+    p_scan, o_scan, ms_scan, losses = scan(
+        tables, copy(params), copy(opt_state), mstate, stack_batches(batches), rngs)
+
+    assert losses.shape == (3,)
+    for a, b in zip(jax.tree_util.tree_leaves(p_seq), jax.tree_util.tree_leaves(p_scan)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -29,11 +29,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..parallel import mesh as M
 from ..utils.logging_utils import ScalarWriter, clean_dir, prettyprint
 from .checkpoint import load_checkpoint, save_checkpoint
 from .evaluator import Evaluation
-from .loop import build_eval_rollout, build_train_step, make_optimizer, run_eval
-from .trainer import ClassicTrainer, dedup_by_path
+from .loop import (build_eval_rollout, build_train_step, configure_tpu_runtime,
+                   make_optimizer, run_eval)
+from .trainer import ClassicTrainer, dedup_by_path, setup_mesh
 
 logger = logging.getLogger("main.curriculum")
 
@@ -90,6 +92,14 @@ def spcl_update_lambda(lamb: jnp.ndarray, stepsize: float, loss_max: jnp.ndarray
     return jnp.where(lamb < loss_max, lamb + stepsize, lamb + stepsize / 2.0)
 
 
+@jax.jit
+def _record_item_losses(loss_for_item, idx, per_sample):
+    """Scatter the latest per-item losses (ref: curriculum.py:310-314).
+    Jitted so the sharded per-sample vector from the DP train step and the
+    replicated record table reshard cleanly in one dispatch."""
+    return loss_for_item.at[idx].set(per_sample)
+
+
 class SelfPacedCurriculum:
     """SPCL trainer over a CLR2RBatchEnv."""
 
@@ -128,8 +138,16 @@ class SelfPacedCurriculum:
     def train(self, cfg, agent, tsboard_dir, train_env, valid_env,
               eval_train: bool = False, eval_train_env: Optional[Dict] = None,
               seed: int = 2020, max_iters_override: Optional[int] = None):
+        configure_tpu_runtime(cfg)
         tables = train_env.world.device_tables(cfg.TPU.PRECISION if hasattr(cfg, "TPU") else "f32")
         train_cfg = cfg.TRAIN
+
+        # production DP: same mesh contract as ClassicTrainer — batches and
+        # SPCL weight gathers sharded on 'data', everything else replicated
+        mesh = setup_mesh(cfg, train_cfg.BATCH_SIZE, train_env, valid_env, eval_train_env)
+        tables = M.replicate(tables, mesh)
+        batch_sh = M.batch_sharding(mesh)
+        self.weight = M.replicate(self.weight, mesh)
 
         time_str = time.strftime("%Y-%m%d-%H:%M", time.localtime())
         writer = ScalarWriter(osp.join(tsboard_dir, time_str) if tsboard_dir else None)
@@ -137,19 +155,21 @@ class SelfPacedCurriculum:
         rng = jax.random.PRNGKey(seed)
         rng, init_rng = jax.random.split(rng)
         params, model_state = agent.init(init_rng)
+        params = M.replicate(params, mesh)
+        model_state = M.replicate(model_state, mesh)
         optimizer = make_optimizer(train_cfg.OPTIM, train_cfg.LR)
         opt_state = optimizer.init(params)
         start_epoch = train_cfg.START_EPOCH
-        loss_for_item = jnp.zeros(self.dim)
+        loss_for_item = M.replicate(jnp.zeros(self.dim), mesh)
 
         ckpt_root = cfg.OUTPUT.CKPT_DIR or "snapshots/checkpoints"
         if cfg.OUTPUT.RESUME:
             bundle = load_checkpoint(osp.join(ckpt_root, f"{cfg.OUTPUT.RESUME}.ckpt"))
-            params = bundle["params"]
+            params = M.replicate(bundle["params"], mesh)
             if bundle.get("opt_state") is not None:
-                opt_state = bundle["opt_state"]
+                opt_state = M.replicate(bundle["opt_state"], mesh)
             if bundle.get("model_state") is not None:
-                model_state = bundle["model_state"]
+                model_state = M.replicate(bundle["model_state"], mesh)
             if bundle.get("rng") is not None:
                 rng = jnp.asarray(bundle["rng"])
             if bundle.get("curriculum") is not None:
@@ -177,14 +197,14 @@ class SelfPacedCurriculum:
             for _ in range(iters):
                 batch = train_env.next_batch()
                 idx = jnp.asarray(train_env.cur_batch_index)
-                w_batch = self.weight[idx]
+                w_batch = jax.device_put(self.weight[idx], batch_sh)
                 rng, rng_it = jax.random.split(rng)
                 params, opt_state, model_state, logs = train_step(
                     tables, params, opt_state, model_state, batch, rng_it, w_batch
                 )
                 device_losses.append(logs["loss"])  # sync deferred to epoch end
                 # record latest per-item loss (ref: curriculum.py:310-314)
-                loss_for_item = loss_for_item.at[idx].set(logs["loss_per_sample"])
+                loss_for_item = _record_item_losses(loss_for_item, idx, logs["loss_per_sample"])
             record_losses = [float(x) for x in jax.device_get(device_losses)]
 
             epoch_loss = sum(record_losses)

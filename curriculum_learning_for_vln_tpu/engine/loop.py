@@ -22,6 +22,33 @@ from ..agents.common import assemble_trajectories
 from ..world.compiler import WorldTables
 
 
+def configure_tpu_runtime(cfg) -> None:
+    """Apply the cfg.TPU runtime knobs that gate compiled-path behavior.
+
+    * ``TPU.USE_PALLAS``: switch the sequence-LSTM primitive to the fused
+      Pallas kernel (ops/pallas/lstm_scan.py, weights VMEM-resident —
+      measured 1.9x over the XLA scan on v5e) when running on real TPU.
+      On other backends the kernel runs in interpret mode, so the switch
+      is TPU-gated here and exercised via interpret in tests.
+    * ``TPU.COMPILATION_CACHE``: persistent XLA compilation cache dir so
+      warm starts skip the ~6 min cold compile (BENCH_r01 tail).
+    """
+    tpu_cfg = getattr(cfg, "TPU", None)
+    if tpu_cfg is None:
+        return
+    cache_dir = getattr(tpu_cfg, "COMPILATION_CACHE", "")
+    if cache_dir:
+        import os
+
+        os.makedirs(os.path.expanduser(cache_dir), exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", os.path.expanduser(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if tpu_cfg.USE_PALLAS and jax.default_backend() == "tpu":
+        from ..ops import rnn
+
+        rnn.set_backend("pallas")
+
+
 def make_optimizer(name: str, lr: float) -> optax.GradientTransformation:
     """adam / rms / sgd with torch-default hyperparameters
     (ref: trainer.py:17-21; torch RMSprop alpha=0.99 eps=1e-8)."""

@@ -20,13 +20,46 @@ from typing import Dict, Optional
 
 import jax
 
+from ..parallel import mesh as M
 from ..utils.logging_utils import ScalarWriter, clean_dir, prettyprint
 from .checkpoint import load_checkpoint, save_checkpoint
 from .evaluator import Evaluation
 from .loop import (build_eval_rollout, build_scanned_train_step, build_train_step,
-                   make_optimizer, run_eval, stack_batches)
+                   configure_tpu_runtime, make_optimizer, run_eval, stack_batches)
 
 logger = logging.getLogger("main.train")
+
+
+def _flat_envs(envs):
+    for env in envs:
+        if env is None:
+            continue
+        if isinstance(env, dict):
+            yield from env.values()
+        else:
+            yield env
+
+
+def setup_mesh(cfg, batch_size: int, *envs):
+    """Build the production ('data','model') mesh from cfg.TPU and point
+    every episode source at it: emitted batches come out sharded on the
+    'data' axis, so the jitted train/eval steps run SPMD over all chips
+    (gradient psum inserted by XLA).  Returns the mesh.
+
+    The data axis must divide every env's batch size (eval envs may use a
+    different size than cfg.TRAIN.BATCH_SIZE), so it is fit to their gcd.
+    """
+    import math
+
+    for env in _flat_envs(envs):
+        batch_size = math.gcd(batch_size, env.batch_size)
+    mesh = M.mesh_from_config(cfg, batch_size)
+    sh = M.batch_sharding(mesh)
+    for env in _flat_envs(envs):
+        env.set_sharding(sh)
+    logger.info("Device mesh: data=%d model=%d (of %d devices)",
+                mesh.shape["data"], mesh.shape["model"], jax.device_count())
+    return mesh
 
 
 def dedup_by_path(items):
@@ -62,9 +95,15 @@ class ClassicTrainer:
     def train(self, cfg, agent, tsboard_dir, train_env, valid_env,
               eval_train: bool = False, eval_train_env: Optional[Dict] = None,
               seed: int = 2020, max_iters_override: Optional[int] = None):
+        configure_tpu_runtime(cfg)
         first_env = self.select_env(train_env, cfg.TRAIN.START_EPOCH)
         tables = first_env.world.device_tables(cfg.TPU.PRECISION if hasattr(cfg, "TPU") else "f32")
         train_cfg = cfg.TRAIN
+
+        # production data parallelism: batches sharded over 'data', params
+        # and world tables replicated; one SPMD program over all chips
+        mesh = setup_mesh(cfg, train_cfg.BATCH_SIZE, train_env, valid_env, eval_train_env)
+        tables = M.replicate(tables, mesh)
 
         time_str = time.strftime("%Y-%m%d-%H:%M", time.localtime())
         writer = ScalarWriter(osp.join(tsboard_dir, time_str) if tsboard_dir else None)
@@ -72,6 +111,8 @@ class ClassicTrainer:
         rng = jax.random.PRNGKey(seed)
         rng, init_rng = jax.random.split(rng)
         params, model_state = agent.init(init_rng)
+        params = M.replicate(params, mesh)
+        model_state = M.replicate(model_state, mesh)
         optimizer = make_optimizer(train_cfg.OPTIM, train_cfg.LR)
         opt_state = optimizer.init(params)
         start_epoch = train_cfg.START_EPOCH
@@ -81,11 +122,11 @@ class ClassicTrainer:
             ckpt_path = osp.join(ckpt_root, f"{cfg.OUTPUT.RESUME}.ckpt")
             logger.info("Resuming %s from %s", cfg.MODEL.NAME, ckpt_path)
             bundle = load_checkpoint(ckpt_path)
-            params = bundle["params"]
+            params = M.replicate(bundle["params"], mesh)
             if bundle.get("opt_state") is not None:
-                opt_state = bundle["opt_state"]
+                opt_state = M.replicate(bundle["opt_state"], mesh)
             if bundle.get("model_state") is not None:
-                model_state = bundle["model_state"]
+                model_state = M.replicate(bundle["model_state"], mesh)
             if bundle.get("rng") is not None:
                 rng = jax.numpy.asarray(bundle["rng"])
             start_epoch = bundle.get("epoch", 0) + 1
@@ -129,7 +170,8 @@ class ClassicTrainer:
             it = 0
             while it < iters:
                 if scan_iters > 1 and iters - it >= scan_iters:
-                    batches = stack_batches([epoch_env.next_batch() for _ in range(scan_iters)])
+                    batches = M.shard_stacked_batch(
+                        stack_batches([epoch_env.next_batch() for _ in range(scan_iters)]), mesh)
                     rng, rng_it = jax.random.split(rng)
                     rngs = jax.random.split(rng_it, scan_iters)
                     params, opt_state, model_state, losses = scan_step(

@@ -96,6 +96,18 @@ class R2RBatchEnv:
         self._cur_indices: Optional[np.ndarray] = None
         self._cur_valid: Optional[np.ndarray] = None
         self._dev = None  # lazy device-resident copy of the item arrays
+        self._sharding = None  # optional NamedSharding applied to batches
+
+    def set_sharding(self, sharding) -> None:
+        """Place every emitted EpisodeBatch with this sharding (the DP
+        trainers set a batch-axis NamedSharding over the 'data' mesh axis;
+        SURVEY §2.3)."""
+        self._sharding = sharding
+
+    def _place(self, batch: EpisodeBatch) -> EpisodeBatch:
+        if self._sharding is None:
+            return batch
+        return jax.device_put(batch, self._sharding)
 
     def _device_arrays(self):
         """Full item arrays on device: batch construction becomes a [B]
@@ -146,8 +158,8 @@ class R2RBatchEnv:
             order = np.argsort(-self.instr_len[idx], kind="stable")
             idx, valid = idx[order], valid[order]
         self._cur_indices, self._cur_valid = idx, valid
-        return _gather_batch(self._device_arrays(), jnp.asarray(idx.astype(np.int32)),
-                             jnp.asarray(valid))
+        return self._place(_gather_batch(self._device_arrays(), jnp.asarray(idx.astype(np.int32)),
+                                         jnp.asarray(valid)))
 
     def next_batch(self, restart: bool = False, tile_one: bool = False) -> EpisodeBatch:
         """Next training minibatch; ``restart=True`` re-emits the current one
@@ -159,15 +171,15 @@ class R2RBatchEnv:
 
     def _make_batch_norestore(self) -> EpisodeBatch:
         idx, valid = self._cur_indices, self._cur_valid
-        return _gather_batch(self._device_arrays(), jnp.asarray(idx.astype(np.int32)),
-                             jnp.asarray(valid))
+        return self._place(_gather_batch(self._device_arrays(), jnp.asarray(idx.astype(np.int32)),
+                                         jnp.asarray(valid)))
 
     def inject_batch(self, idx: np.ndarray, instr_tokens: np.ndarray, instr_len: np.ndarray) -> EpisodeBatch:
         """Current episodes with replaced instructions (back-translation path,
         ref: envdrop.py:105-121)."""
         valid = np.ones(len(idx), dtype=bool)
         self._cur_indices, self._cur_valid = idx, valid
-        return EpisodeBatch(
+        return self._place(EpisodeBatch(
             instr_tokens=jnp.asarray(instr_tokens.astype(np.int32)),
             instr_len=jnp.asarray(instr_len.astype(np.int32)),
             start_node=jnp.asarray(self.start_node[idx]),
@@ -176,7 +188,7 @@ class R2RBatchEnv:
             goal_local=jnp.asarray(self.goal_local[idx]),
             item_idx=jnp.asarray(idx.astype(np.int32)),
             valid=jnp.asarray(valid),
-        )
+        ))
 
     @property
     def cur_batch_index(self) -> np.ndarray:

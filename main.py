@@ -31,6 +31,12 @@ def main(args, cfg):
     logger.info("[1] seed %d, config %s", args.seed, args.config_file)
 
     import jax
+
+    # Honor a requested-CPU environment (e.g. virtual-device DP testing via
+    # xla_force_host_platform_device_count) even when a site hook registered
+    # an experimental TPU backend first — it would win the default otherwise.
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     logger.info("[2] devices: %s", jax.devices())
 
     tok = pipeline.build_tokenizer(cfg)

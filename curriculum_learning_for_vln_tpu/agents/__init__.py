@@ -10,19 +10,46 @@ from .monitor import SelfMonitorAgent
 from .test_agent import TestAgent
 
 
-def build_agent(cfg, vocab_size: int, feat_dim: int = 2048):
-    """Instantiate the agent selected by cfg.MODEL.NAME."""
+def build_agent(cfg, vocab_size: int, feat_dim: int = 2048, vocab=None):
+    """Instantiate the agent selected by cfg.MODEL.NAME.
+
+    ``vocab`` (word list) enables text-format GloVe alignment; .npy GloVe
+    tables are already vocab-aligned and need only the path.
+    """
     name = cfg.MODEL.NAME
     episode_len = cfg.AGENT.MAX_EPISODE_LEN
     if name == "FOLLOWER":
-        return FollowerAgent(cfg.MODEL.FOLLOWER, vocab_size, feat_dim, episode_len)
-    if name == "SELF-MONITOR":
-        return SelfMonitorAgent(cfg.MODEL.MONITOR, cfg.DATA.MAX_ENC_LEN, vocab_size, feat_dim, episode_len)
-    if name == "ENVDROP":
-        return EnvDropAgent(cfg.MODEL.ENVDROP, cfg.DATA.MAX_ENC_LEN, vocab_size, feat_dim, episode_len)
-    if name == "TEST":
-        return TestAgent(episode_len)
-    raise NotImplementedError(name)
+        glove = None
+        if cfg.MODEL.FOLLOWER.GLOVE_PATH:
+            # frozen pretrained embeddings (ref: units.py:30-37, config.py:70)
+            import jax.numpy as jnp
+
+            from ..utils.glove import load_glove
+
+            glove = jnp.asarray(load_glove(
+                cfg.MODEL.FOLLOWER.GLOVE_PATH, vocab,
+                dim=cfg.MODEL.FOLLOWER.WORD_EMB_SIZE))
+        agent = FollowerAgent(cfg.MODEL.FOLLOWER, vocab_size, feat_dim, episode_len,
+                              glove=glove)
+    elif name == "SELF-MONITOR":
+        agent = SelfMonitorAgent(cfg.MODEL.MONITOR, cfg.DATA.MAX_ENC_LEN, vocab_size,
+                                 feat_dim, episode_len)
+    elif name == "ENVDROP":
+        agent = EnvDropAgent(cfg.MODEL.ENVDROP, cfg.DATA.MAX_ENC_LEN, vocab_size,
+                             feat_dim, episode_len)
+    elif name == "TEST":
+        agent = TestAgent(episode_len)
+    else:
+        raise NotImplementedError(name)
+
+    # feature-path precision follows TPU.PRECISION: with bf16 the observation
+    # gathers/concats (the dominant per-step HBM traffic) stay in bf16 until
+    # they hit an f32 matmul (jnp promotion), halving feature bandwidth
+    if getattr(cfg, "TPU", None) is not None and hasattr(agent, "compute_dtype"):
+        import jax.numpy as jnp
+
+        agent.compute_dtype = jnp.bfloat16 if cfg.TPU.PRECISION == "bf16" else jnp.float32
+    return agent
 
 
 __all__ = [

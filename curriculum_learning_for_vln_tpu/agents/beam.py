@@ -22,6 +22,7 @@ iteration.  Parity notes:
 """
 from __future__ import annotations
 
+import logging
 from typing import Dict, List, Tuple
 
 import jax
@@ -37,6 +38,8 @@ from ..utils.angles import ANGLE_INC, make_angle_feat
 from ..utils.floyd import FloydGraph
 from ..utils.tokenizer import EOS_IDX, PAD_IDX
 from ..world.compiler import CompiledWorld, WorldTables
+
+logger = logging.getLogger("main.beam")
 
 START_ACTION = -95  # the reference's start-state marker (base.py:246)
 END_ACTION = -1
@@ -266,6 +269,17 @@ class BeamSearch:
 
             if ended.all():
                 break
+        else:
+            # expansion budget exhausted — surface which episodes did not
+            # collect max_candidates finished states (the reference breaks
+            # out silently, base.py:183-397 has no iteration cap at all)
+            short = [(results[b]["instr_id"], len(finished[b]))
+                     for b in range(B) if not ended[b]]
+            if short:
+                logger.warning(
+                    "beam search truncated at max_iters=%d: %d/%d episodes "
+                    "short of %d finished paths: %s",
+                    self.max_iters, len(short), B, max_candidates, short[:8])
 
         # (7) close the dijk path back to the start
         for b in range(B):

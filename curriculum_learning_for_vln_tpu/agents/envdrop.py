@@ -83,6 +83,7 @@ class EnvDropAgent:
         train_ml: bool = True,
         train_rl: bool = False,
         feat_mask: Optional[jnp.ndarray] = None,  # [D] shared noise (back-translation)
+        episode_len: Optional[int] = None,
     ) -> Tuple[EnvDropLosses, C.RolloutResult, dict]:
         if feedback != C.FEEDBACK_SAMPLE:
             train_rl = False  # (ref: envdrop.py:100)
@@ -119,7 +120,8 @@ class EnvDropAgent:
 
         # h_tilde initialized to the encoder's h (ref: envdrop.py:150)
         result = C.rollout_scan(
-            world, ep, rng, (h0, c0, h0), model_step, self.episode_len, feedback,
+            world, ep, rng, (h0, c0, h0), model_step,
+            episode_len or self.episode_len, feedback,
             avoid_cyclic=avoid_cyclic, compute_dtype=self.compute_dtype,
         )
         steps = result.steps

@@ -65,6 +65,7 @@ class FollowerAgent:
         feedback: int,
         train: bool,
         avoid_cyclic: bool = False,
+        episode_len: int = None,
     ) -> Tuple[FollowerLosses, C.RolloutResult, dict]:
         drop = self.cfg.DROP_RATE
         rng, rng_enc = jax.random.split(rng)
@@ -75,7 +76,9 @@ class FollowerAgent:
         )
 
         B = ep.instr_tokens.shape[0]
-        a_prev0 = jnp.zeros((B, self.action_emb_size))
+        # carried a_t_prev is a candidate-feature slice — match the feature
+        # path's compute dtype so the scan carry type is stable under bf16
+        a_prev0 = jnp.zeros((B, self.action_emb_size), self.compute_dtype)
 
         def model_step(mc, obs, state, rng_t, t):
             h, c, a_prev = mc
@@ -91,7 +94,7 @@ class FollowerAgent:
 
         result = C.rollout_scan(
             world, ep, rng, (h0, c0, a_prev0), model_step,
-            self.episode_len, feedback, model_post=model_post,
+            episode_len or self.episode_len, feedback, model_post=model_post,
             avoid_cyclic=avoid_cyclic, compute_dtype=self.compute_dtype,
         )
         losses = FollowerLosses(

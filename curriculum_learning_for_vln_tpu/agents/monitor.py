@@ -69,6 +69,7 @@ class SelfMonitorAgent:
         train: bool,
         avoid_cyclic: bool = False,
         lamb: float = 0.5,
+        episode_len: int = None,
     ) -> Tuple[MonitorLosses, C.RolloutResult, dict]:
         drop = self.cfg.DROP_RATE
         rng, rng_enc = jax.random.split(rng)
@@ -79,7 +80,7 @@ class SelfMonitorAgent:
         )
 
         B = ep.instr_tokens.shape[0]
-        a_prev0 = jnp.zeros((B, self.action_emb_size))
+        a_prev0 = jnp.zeros((B, self.action_emb_size), self.compute_dtype)
 
         def model_step(mc, obs, state, rng_t, t):
             h, c, a_prev, bn = mc
@@ -95,7 +96,7 @@ class SelfMonitorAgent:
 
         result = C.rollout_scan(
             world, ep, rng, (h0, c0, a_prev0, model_state["decoder_bn"]),
-            model_step, self.episode_len, feedback,
+            model_step, episode_len or self.episode_len, feedback,
             model_post=model_post, avoid_cyclic=avoid_cyclic, compute_dtype=self.compute_dtype,
         )
         steps = result.steps

@@ -33,9 +33,9 @@ from ..parallel import mesh as M
 from ..utils.logging_utils import ScalarWriter, clean_dir, prettyprint
 from .checkpoint import load_checkpoint, save_checkpoint
 from .evaluator import Evaluation
-from .loop import (build_eval_rollout, build_train_step, configure_tpu_runtime,
-                   make_optimizer, run_eval)
-from .trainer import ClassicTrainer, dedup_by_path, setup_mesh
+from .loop import (build_eval_rollout, build_scanned_train_step, build_train_step,
+                   configure_tpu_runtime, make_optimizer, run_eval, stack_batches)
+from .trainer import ClassicTrainer, dedup_by_path, il_bucket_fn, setup_mesh
 
 logger = logging.getLogger("main.curriculum")
 
@@ -180,7 +180,13 @@ class SelfPacedCurriculum:
             agent, optimizer, cfg.AGENT.FEEDBACK,
             progmonitor_weight=train_cfg.PROGMONITOR_WEIGHT, weighted=True,
         )
+        scan_iters = getattr(cfg.TPU, "SCAN_ITERS", 1) if hasattr(cfg, "TPU") else 1
+        if scan_iters > 1:
+            scan_step = build_scanned_train_step(
+                agent, optimizer, cfg.AGENT.FEEDBACK,
+                progmonitor_weight=train_cfg.PROGMONITOR_WEIGHT, weighted=True)
         eval_rollout = build_eval_rollout(agent)
+        il_bucket = il_bucket_fn(cfg, agent)
         valid_evaluator = {
             key: Evaluation(env.world, dedup_by_path(env.data)) for key, env in valid_env.items()
         }
@@ -192,20 +198,48 @@ class SelfPacedCurriculum:
         start_time = last_time = time.time()
 
         for ep in range(start_epoch, train_cfg.MAX_EPOCH + 1):
-            record_losses = []
             device_losses = []
-            for _ in range(iters):
-                batch = train_env.next_batch()
-                idx = jnp.asarray(train_env.cur_batch_index)
-                w_batch = jax.device_put(self.weight[idx], batch_sh)
-                rng, rng_it = jax.random.split(rng)
-                params, opt_state, model_state, logs = train_step(
-                    tables, params, opt_state, model_state, batch, rng_it, w_batch
-                )
-                device_losses.append(logs["loss"])  # sync deferred to epoch end
-                # record latest per-item loss (ref: curriculum.py:310-314)
-                loss_for_item = _record_item_losses(loss_for_item, idx, logs["loss_per_sample"])
-            record_losses = [float(x) for x in jax.device_get(device_losses)]
+            it = 0
+            while it < iters:
+                if scan_iters > 1 and iters - it >= scan_iters:
+                    # K weighted iterations fused into one dispatch
+                    batches, idxs, il_lens = [], [], []
+                    for _ in range(scan_iters):
+                        batches.append(train_env.next_batch())
+                        idxs.append(np.asarray(train_env.cur_batch_index))
+                        il_lens.append(il_bucket(train_env))
+                    eps = M.shard_stacked_batch(stack_batches(batches), mesh)
+                    il_len = None if None in il_lens else max(il_lens)
+                    idx_stack = jnp.asarray(np.stack(idxs))
+                    ws = jax.device_put(self.weight[idx_stack], M.stacked_batch_sharding(mesh))
+                    rng, rng_it = jax.random.split(rng)
+                    rngs = jax.random.split(rng_it, scan_iters)
+                    params, opt_state, model_state, slogs = scan_step(
+                        tables, params, opt_state, model_state, eps, rngs, ws,
+                        il_len=il_len)
+                    device_losses.append(slogs["loss"])  # [K]
+                    # scatter per-item losses in iteration order (an item can
+                    # recur across the K batches; last write must win)
+                    for k in range(scan_iters):
+                        loss_for_item = _record_item_losses(
+                            loss_for_item, idx_stack[k], slogs["loss_per_sample"][k])
+                    it += scan_iters
+                else:
+                    batch = train_env.next_batch()
+                    idx = jnp.asarray(train_env.cur_batch_index)
+                    w_batch = jax.device_put(self.weight[idx], batch_sh)
+                    rng, rng_it = jax.random.split(rng)
+                    params, opt_state, model_state, logs = train_step(
+                        tables, params, opt_state, model_state, batch, rng_it, w_batch,
+                        il_len=il_bucket(train_env)
+                    )
+                    device_losses.append(logs["loss"])  # sync deferred to epoch end
+                    # record latest per-item loss (ref: curriculum.py:310-314)
+                    loss_for_item = _record_item_losses(loss_for_item, idx, logs["loss_per_sample"])
+                    it += 1
+            record_losses = [float(x)
+                             for arr in jax.device_get(device_losses)
+                             for x in np.atleast_1d(arr)]
 
             epoch_loss = sum(record_losses)
             avg_iter = epoch_loss / len(record_losses)

@@ -18,7 +18,7 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
-from ..utils.metrics import CLS, DTW
+from ..utils.metrics import CLS, batched_ndtw_sdtw
 from ..world.compiler import CompiledWorld
 
 ERROR_MARGIN = 3.0  # meters (ref: evaluator.py:22)
@@ -77,9 +77,10 @@ class Evaluation:
         scores["trajectory_steps"].append(len(path) - 1)
 
         d_access = lambda u, v: dist[u, v]
-        ndtw, sdtw = DTW(d_access, threshold=self.error_margin)(pred_nodes, gt_nodes, ["ndtw", "sdtw"])
-        scores["ndtws"].append(float(ndtw))
-        scores["sdtws"].append(float(sdtw))
+        # nDTW/SDTW are deferred: collected per scan and computed by the
+        # vectorized batched_ndtw_sdtw sweep at the end of score() (the
+        # reference runs an O(|P|*|R|) Python DP per item, dtw.py:55-82)
+        self._dtw_pending.append((scan, pred_nodes, gt_nodes))
         scores["clss"].append(float(CLS(d_access, threshold=self.error_margin)(pred_nodes, gt_nodes)))
 
         length = float(sum(dist[a, b] for a, b in zip(pred_nodes[:-1], pred_nodes[1:])))
@@ -98,6 +99,7 @@ class Evaluation:
 
         scores = defaultdict(list)
         remaining = set(self.instr_ids)
+        self._dtw_pending: List[Tuple[str, List[int], List[int]]] = []
         if isinstance(output, str):
             with open(output) as f:
                 output = json.load(f)
@@ -111,6 +113,32 @@ class Evaluation:
             f"Missing {len(remaining)} of {len(self.instr_ids)} instruction ids"
         )
         assert len(scores["nav_errors"]) == len(self.instr_ids)
+
+        # vectorized nDTW/SDTW, one DP sweep per scan group
+        n = len(self._dtw_pending)
+        ndtws = np.zeros(n)
+        sdtws = np.zeros(n)
+        by_scan: Dict[str, List[int]] = defaultdict(list)
+        for i, (scan, _, _) in enumerate(self._dtw_pending):
+            by_scan[scan].append(i)
+        for scan, idxs in by_scan.items():
+            dist = self._dist(scan)
+            preds = [self._dtw_pending[i][1] for i in idxs]
+            refs = [self._dtw_pending[i][2] for i in idxs]
+            tp = max(len(p) for p in preds)
+            tr = max(len(r) for r in refs)
+            pred = np.zeros((len(idxs), tp), dtype=np.int64)
+            ref = np.zeros((len(idxs), tr), dtype=np.int64)
+            plen = np.array([len(p) for p in preds])
+            rlen = np.array([len(r) for r in refs])
+            for k, (p, r) in enumerate(zip(preds, refs)):
+                pred[k, : len(p)] = p
+                ref[k, : len(r)] = r
+            nd, sd = batched_ndtw_sdtw(dist, pred, plen, ref, rlen, self.error_margin)
+            ndtws[idxs] = nd
+            sdtws[idxs] = sd
+        scores["ndtws"] = [float(x) for x in ndtws]
+        scores["sdtws"] = [float(x) for x in sdtws]
 
         summary = {
             "nav_error": float(np.average(scores["nav_errors"])),

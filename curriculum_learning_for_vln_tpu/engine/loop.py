@@ -72,36 +72,28 @@ def clip_submodule_grads(grads: dict, keys, max_norm: float) -> dict:
     return out
 
 
-def build_train_step(
-    agent,
-    optimizer: optax.GradientTransformation,
-    feedback: str,
-    progmonitor_weight: float = 0.5,
-    weighted: bool = False,
-) -> Callable:
-    """Compiled training step:
-    (tables, params, opt_state, model_state, ep, rng[, w])
-    -> (params, opt_state, model_state, metrics).
-
-    ``tables`` is a call-time argument on purpose: closing over the packed
-    world (100s of MB) embeds it as an XLA constant, which blows up both
-    compile time (~200s vs ~2s measured on v5e) and run time (constants
-    get re-materialized per call).
-
-    ``w`` (present when ``weighted``) is the SPCL per-sample weight vector
-    gathered for this batch.  metrics includes the per-sample loss vector
-    the SPCL solver records (ref: curriculum.py:310-314).
-    """
+def _make_one_iter(agent, optimizer, feedback: str, progmonitor_weight: float) -> Callable:
+    """The single training iteration shared by build_train_step and
+    build_scanned_train_step: rollout(s) + loss (optionally SPCL-weighted)
+    + grads + optimizer update, returning the full metrics dict."""
     fb = FEEDBACK_IDS[feedback]
     name = agent.name
 
-    def step(tables, params, opt_state, model_state, ep, rng, weights=None):
+    def one_iter(tables, params, opt_state, model_state, ep, rng, weights=None,
+                 il_len=None):
+        # ``il_len`` (static) truncates *teacher-forced* rollouts to the
+        # batch's bucketed episode length: teacher paths end after
+        # max_hops+1 steps, so steps beyond that are fully masked and a
+        # shorter scan computes the identical loss in ~T/35 the time
+        # (the reference breaks its Python loop early, follower.py:168).
+        # Sampled RL rollouts always keep the full horizon.
         if name == "ENVDROP":
             def loss_fn(p):
                 rng_il, rng_rl = jax.random.split(rng)
                 il, _, ms = agent.rollout(
                     p, model_state, tables, ep, rng_il,
                     feedback=FEEDBACK_TEACHER, train=True, train_ml=True, train_rl=False,
+                    episode_len=il_len,
                 )
                 if fb == FEEDBACK_SAMPLE:
                     rl, _, _ = agent.rollout(
@@ -135,6 +127,8 @@ def build_train_step(
                 kwargs = {}
                 if name == "SELF-MONITOR":
                     kwargs["lamb"] = progmonitor_weight
+                if fb == FEEDBACK_TEACHER:  # bucketing is only valid teacher-forced
+                    kwargs["episode_len"] = il_len
                 losses, _, ms = agent.rollout(
                     p, model_state, tables, ep, rng, feedback=fb, train=True, **kwargs
                 )
@@ -154,9 +148,34 @@ def build_train_step(
         params = optax.apply_updates(params, updates)
         return params, opt_state, ms, logs
 
+    return one_iter
+
+
+def build_train_step(
+    agent,
+    optimizer: optax.GradientTransformation,
+    feedback: str,
+    progmonitor_weight: float = 0.5,
+    weighted: bool = False,
+) -> Callable:
+    """Compiled training step:
+    (tables, params, opt_state, model_state, ep, rng[, w])
+    -> (params, opt_state, model_state, metrics).
+
+    ``tables`` is a call-time argument on purpose: closing over the packed
+    world (100s of MB) embeds it as an XLA constant, which blows up both
+    compile time (~200s vs ~2s measured on v5e) and run time (constants
+    get re-materialized per call).
+
+    ``w`` (present when ``weighted``) is the SPCL per-sample weight vector
+    gathered for this batch.  metrics includes the per-sample loss vector
+    the SPCL solver records (ref: curriculum.py:310-314).
+    """
+    one_iter = _make_one_iter(agent, optimizer, feedback, progmonitor_weight)
     if weighted:
-        return jax.jit(step, donate_argnums=(1, 2))
-    return jax.jit(functools.partial(step, weights=None), donate_argnums=(1, 2))
+        return jax.jit(one_iter, donate_argnums=(1, 2), static_argnames=("il_len",))
+    return jax.jit(functools.partial(one_iter, weights=None), donate_argnums=(1, 2),
+                   static_argnames=("il_len",))
 
 
 def build_scanned_train_step(
@@ -164,63 +183,45 @@ def build_scanned_train_step(
     optimizer: optax.GradientTransformation,
     feedback: str,
     progmonitor_weight: float = 0.5,
+    weighted: bool = False,
 ) -> Callable:
     """K training iterations fused into ONE compiled dispatch.
 
-    (tables, params, opt_state, model_state, eps, rngs) ->
-    (params, opt_state, model_state, losses[K])
+    (tables, params, opt_state, model_state, eps, rngs[, ws]) ->
+    (params, opt_state, model_state, logs[K])
 
     ``eps`` is an EpisodeBatch whose leaves carry a leading [K, B, ...]
-    iteration axis; ``rngs`` is [K, 2] PRNG keys.  Scanning the train step
+    iteration axis; ``rngs`` is [K, 2] PRNG keys; ``ws`` (when
+    ``weighted``) is a [K, B] SPCL weight stack.  Scanning the train step
     on device removes per-iteration dispatch latency entirely — decisive
     when the device sits behind a network relay (~100 ms RTT here), and
-    still saves host work on directly-attached chips.
+    still saves host work on directly-attached chips.  Each iteration is
+    the SAME one_iter as build_train_step, so the full metrics
+    (entropy/critic/progress/per-sample losses) come back stacked [K].
     """
-    fb = FEEDBACK_IDS[feedback]
-    name = agent.name
+    one_iter = _make_one_iter(agent, optimizer, feedback, progmonitor_weight)
 
-    def one_iter(tables, model_state, params, opt_state, ep, rng):
-        if name == "ENVDROP":
-            def loss_fn(p):
-                rng_il, rng_rl = jax.random.split(rng)
-                il, _, ms = agent.rollout(p, model_state, tables, ep, rng_il,
-                                          feedback=FEEDBACK_TEACHER, train=True,
-                                          train_ml=True, train_rl=False)
-                if fb == FEEDBACK_SAMPLE:
-                    rl, _, _ = agent.rollout(p, model_state, tables, ep, rng_rl,
-                                             feedback=FEEDBACK_SAMPLE, train=True,
-                                             train_ml=False, train_rl=True)
-                    total = il.ml_loss + rl.rl_loss
-                else:
-                    total = il.ml_loss
-                return total, ms
-
-            (loss, ms), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            grads = clip_submodule_grads(grads, ("encoder", "decoder"), 40.0)
-        else:
-            def loss_fn(p):
-                kwargs = {"lamb": progmonitor_weight} if name == "SELF-MONITOR" else {}
-                losses, _, ms = agent.rollout(p, model_state, tables, ep, rng,
-                                              feedback=fb, train=True, **kwargs)
-                return agent.loss_fn(losses), ms
-
-            (loss, ms), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, ms, loss
-
-    def step(tables, params, opt_state, model_state, eps, rngs):
+    def step(tables, params, opt_state, model_state, eps, rngs, ws=None, il_len=None):
         def body(carry, xs):
             params, opt_state, ms = carry
-            ep, rng = xs
-            params, opt_state, ms, loss = one_iter(tables, ms, params, opt_state, ep, rng)
-            return (params, opt_state, ms), loss
+            if ws is None:
+                ep, rng = xs
+                w = None
+            else:
+                ep, rng, w = xs
+            params, opt_state, ms, logs = one_iter(
+                tables, params, opt_state, ms, ep, rng, weights=w, il_len=il_len)
+            return (params, opt_state, ms), logs
 
-        (params, opt_state, ms), losses = jax.lax.scan(
-            body, (params, opt_state, model_state), (eps, rngs))
-        return params, opt_state, ms, losses
+        xs = (eps, rngs) if ws is None else (eps, rngs, ws)
+        (params, opt_state, ms), logs = jax.lax.scan(
+            body, (params, opt_state, model_state), xs)
+        return params, opt_state, ms, logs
 
-    return jax.jit(step, donate_argnums=(1, 2))
+    if weighted:
+        return jax.jit(step, donate_argnums=(1, 2), static_argnames=("il_len",))
+    return jax.jit(functools.partial(step, ws=None), donate_argnums=(1, 2),
+                   static_argnames=("il_len",))
 
 
 def stack_batches(batches):

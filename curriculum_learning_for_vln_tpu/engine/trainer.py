@@ -71,6 +71,28 @@ def dedup_by_path(items):
     return out
 
 
+def il_bucket_fn(cfg, agent):
+    """Episode-length bucketing for teacher-forced rollouts (NEXT.md item 3,
+    ref early-exit semantics: follower.py:168).  Returns a callable
+    env -> static IL scan length (or None = full), valid only where the
+    trajectory is teacher-driven: the whole step for FEEDBACK=teacher, the
+    IL phase for EnvDrop (engine.loop handles the phase split)."""
+    buckets = tuple(getattr(cfg.TPU, "IL_BUCKETS", ()) or ()) if hasattr(cfg, "TPU") else ()
+    applies = cfg.AGENT.FEEDBACK == "teacher" or agent.name == "ENVDROP"
+    if not buckets or not applies:
+        return lambda env: None
+    full = agent.episode_len
+
+    def bucket(env) -> Optional[int]:
+        need = env.cur_batch_max_hops + 1  # +1 for the STOP step
+        for b in sorted(buckets):
+            if need <= b < full:
+                return b
+        return None  # full length
+
+    return bucket
+
+
 def check_the_code(cfg, tables, valid_env) -> dict:
     """Sanity check (ref: trainer.py:27-39): model-free teacher-following
     through val_unseen, scored; near-perfect SR validates the plumbing."""
@@ -141,6 +163,7 @@ class ClassicTrainer:
             progmonitor_weight=train_cfg.PROGMONITOR_WEIGHT,
         )
         eval_rollout = build_eval_rollout(agent)
+        il_bucket = il_bucket_fn(cfg, agent)
 
         valid_evaluator = {
             key: Evaluation(env.world, dedup_by_path(env.data)) for key, env in valid_env.items()
@@ -166,35 +189,46 @@ class ClassicTrainer:
             # keep per-iteration logs on device; a float() per iteration
             # would force a device sync each step and serialize the loop
             device_logs = []
-            scanned_losses = []
+            scanned_logs = []
             it = 0
             while it < iters:
                 if scan_iters > 1 and iters - it >= scan_iters:
-                    batches = M.shard_stacked_batch(
-                        stack_batches([epoch_env.next_batch() for _ in range(scan_iters)]), mesh)
+                    raw, il_lens = [], []
+                    for _ in range(scan_iters):
+                        raw.append(epoch_env.next_batch())
+                        il_lens.append(il_bucket(epoch_env))
+                    batches = M.shard_stacked_batch(stack_batches(raw), mesh)
+                    # one static IL length for the fused K iterations
+                    il_len = None if None in il_lens else max(il_lens)
                     rng, rng_it = jax.random.split(rng)
                     rngs = jax.random.split(rng_it, scan_iters)
-                    params, opt_state, model_state, losses = scan_step(
-                        tables, params, opt_state, model_state, batches, rngs)
-                    scanned_losses.append(losses)
+                    params, opt_state, model_state, slogs = scan_step(
+                        tables, params, opt_state, model_state, batches, rngs,
+                        il_len=il_len)
+                    scanned_logs.append({k: v for k, v in slogs.items() if k != "loss_per_sample"})
                     it += scan_iters
                 else:
                     batch = epoch_env.next_batch()
+                    il_len = il_bucket(epoch_env)
                     rng, rng_it = jax.random.split(rng)
                     params, opt_state, model_state, logs = train_step(
-                        tables, params, opt_state, model_state, batch, rng_it
+                        tables, params, opt_state, model_state, batch, rng_it,
+                        il_len=il_len
                     )
                     device_logs.append({k: v for k, v in logs.items() if k != "loss_per_sample"})
                     it += 1
             host_logs = jax.device_get(device_logs)
             epoch_losses = [float(l["loss"]) for l in host_logs]
-            for chunk in jax.device_get(scanned_losses):
-                epoch_losses.extend(float(x) for x in chunk)
             extra_logs = {"entropy": 0.0, "critic_loss": 0.0, "total_actions": 0.0, "progress_loss": 0.0}
             for l in host_logs:
                 for k in extra_logs:
                     if k in l:
                         extra_logs[k] += float(l[k])
+            for chunk in jax.device_get(scanned_logs):  # stacked [K] metric leaves
+                epoch_losses.extend(float(x) for x in chunk["loss"])
+                for k in extra_logs:
+                    if k in chunk:
+                        extra_logs[k] += float(chunk[k].sum())
 
             epoch_loss = sum(epoch_losses)
             avg_iter = epoch_loss / len(epoch_losses)

@@ -81,7 +81,9 @@ class R2RBatchEnv:
         self.start_heading = np.zeros(n, dtype=np.float32)
         self.goal = np.zeros(n, dtype=np.int32)
         self.goal_local = np.zeros(n, dtype=np.int32)
+        self.hops = np.zeros(n, dtype=np.int32)  # teacher-path edge count
         for i, item in enumerate(self.data):
+            self.hops[i] = len(item["path"]) - 1
             self.instr_tokens[i] = item["instr_encoding"]
             self.instr_len[i] = item["instr_length"]
             start = world.global_id(item["scan"], item["path"][0])
@@ -196,6 +198,14 @@ class R2RBatchEnv:
         ref: curriculum_env.py:100-102)."""
         assert self._cur_indices is not None
         return self._cur_indices
+
+    @property
+    def cur_batch_max_hops(self) -> int:
+        """Longest teacher path (edges) in the current batch — the IL
+        episode-length bucketing key (a teacher-forced episode needs
+        exactly hops+1 steps incl. STOP)."""
+        assert self._cur_indices is not None
+        return int(self.hops[self._cur_indices].max())
 
     def eval_batches(self) -> Iterator[EpisodeBatch]:
         """Cover every item exactly once; tail padded with valid=False."""

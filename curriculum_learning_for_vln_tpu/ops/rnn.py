@@ -93,7 +93,11 @@ def masked_lstm_xla(xs, lengths, w_ih, w_hh, b, reverse: bool = False):
 def _masked_lstm_fused(reverse, xs, lengths, w_ih, w_hh, b):
     from .pallas.lstm_scan import lstm_scan_pallas
 
-    return lstm_scan_pallas(xs, lengths, w_ih, w_hh, b, reverse=reverse)
+    # interpret mode off-TPU: the same kernel logic runs (slowly) on CPU so
+    # the pallas backend is exercisable in tests without real hardware
+    interpret = jax.default_backend() != "tpu"
+    return lstm_scan_pallas(xs, lengths, w_ih, w_hh, b, reverse=reverse,
+                            interpret=interpret)
 
 
 def _fused_fwd(reverse, xs, lengths, w_ih, w_hh, b):

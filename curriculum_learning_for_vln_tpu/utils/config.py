@@ -266,6 +266,7 @@ _C.TPU.SYNTHETIC_NODES = 64
 _C.TPU.MAX_CANDIDATES = 16                 # static candidate-slot count (R2R max ~14)
 _C.TPU.SCAN_ITERS = 1                      # training iterations fused per dispatch (1 = off)
 _C.TPU.COMPILATION_CACHE = ".jax_cache"    # persistent XLA compile cache dir ("" = off)
+_C.TPU.IL_BUCKETS = (8, 16)                # teacher-forced episode-length buckets (() = off)
 
 
 def get_cfg_defaults() -> CfgNode:

@@ -50,7 +50,7 @@ def main(args, cfg):
         return
 
     try:
-        agent = build_agent(cfg, tok.vocab_size(), feat_dim)
+        agent = build_agent(cfg, tok.vocab_size(), feat_dim, vocab=tok.vocab)
         if cfg.DATA.NAME == "CLR2R" and cfg.TRAIN.CLMODE == "NAIVE":
             trainer = engine.NaiveCurriculum()
             logger.info("Using NaiveCurriculum trainer")

@@ -131,3 +131,40 @@ def test_full_beam_search_split(ctx, tokenizer):
         assert len(r["paths"]) >= 1
         for p in r["paths"]:
             assert "speaker_scores" in p and "listener_scores" in p
+
+
+def _tiny_follower(tokenizer):
+    cfg = get_cfg_defaults()
+    m = cfg.MODEL.FOLLOWER
+    m.WORD_EMB_SIZE = 32
+    m.HIDDEN_SIZE = 64
+    m.ENC_LAYERS = 1
+    return FollowerAgent(m, tokenizer.vocab_size(), FEAT_DIM, episode_len=8)
+
+
+def test_beam_collects_full_beam_when_expansion_completes(ctx, tokenizer):
+    """With enough iterations every episode collects exactly
+    ``max_candidates`` finished states (no silent shortfall)."""
+    world, tables, henv, data = ctx
+    agent = _tiny_follower(tokenizer)
+    params, mstate = agent.init(jax.random.PRNGKey(0))
+    beam = BeamSearch(agent, world, tables, max_iters=500)
+    ep = henv.next_batch()
+    results = beam.dijkstra(params, mstate, ep, data, max_candidates=4)
+    for r in results:
+        assert len(r["paths"]) == 4, r["instr_id"]
+
+
+def test_beam_truncation_is_logged(ctx, tokenizer, caplog):
+    """Hitting max_iters before the beam fills logs a warning naming the
+    short episodes (the reference truncates silently)."""
+    import logging
+
+    world, tables, henv, data = ctx
+    agent = _tiny_follower(tokenizer)
+    params, mstate = agent.init(jax.random.PRNGKey(0))
+    beam = BeamSearch(agent, world, tables, max_iters=2)
+    ep = henv.next_batch()
+    with caplog.at_level(logging.WARNING, logger="main.beam"):
+        results = beam.dijkstra(params, mstate, ep, data, max_candidates=4)
+    assert any("truncated at max_iters=2" in rec.message for rec in caplog.records)

@@ -192,9 +192,9 @@ def test_scanned_train_step_matches_sequential(envs, tokenizer):
         p_seq, o_seq, ms_seq, _ = seq(tables, p_seq, o_seq, ms_seq, b, r)
 
     scan = build_scanned_train_step(agent, opt, "teacher")
-    p_scan, o_scan, ms_scan, losses = scan(
+    p_scan, o_scan, ms_scan, slogs = scan(
         tables, copy(params), copy(opt_state), mstate, stack_batches(batches), rngs)
 
-    assert losses.shape == (3,)
+    assert slogs["loss"].shape == (3,)
     for a, b in zip(jax.tree_util.tree_leaves(p_seq), jax.tree_util.tree_leaves(p_scan)):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -61,6 +61,25 @@ class RolloutResult(NamedTuple):
     model_carry: tuple          # final model carry (bn state etc.)
 
 
+def cast_compute_params(params: dict, compute_dtype) -> dict:
+    """bf16 compute copies of the float parameter trees.
+
+    The rollout's serial kernel chain is weight-HBM-read bound (34 MB of
+    decoder/encoder weights re-fetched per step; measured on v5e, see
+    BASELINE.md).  Casting the float params to bf16 once per step call
+    halves that traffic; XLA fuses the upcast back to f32 into each dot's
+    operand read, so accumulation and recurrent state stay f32 and the
+    f32 master copy in the optimizer is untouched (grads flow through the
+    cast).  Integer/bool leaves are left alone."""
+    if compute_dtype == jnp.float32:
+        return params
+
+    def cast(x):
+        return x.astype(compute_dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
+
+    return jax.tree_util.tree_map(cast, params)
+
+
 def select_action(
     feedback: int,
     masked_logits: jnp.ndarray,   # [B, K], invalid slots at NEG_INF

@@ -87,6 +87,8 @@ class EnvDropAgent:
     ) -> Tuple[EnvDropLosses, C.RolloutResult, dict]:
         if feedback != C.FEEDBACK_SAMPLE:
             train_rl = False  # (ref: envdrop.py:100)
+        # bf16 compute copies: halves weight HBM traffic in the step chain
+        params = C.cast_compute_params(params, self.compute_dtype)
         drop = self.cfg.DROP_RATE
         fdrop = self.cfg.FEAT_DROP_RATE
         rng, rng_enc = jax.random.split(rng)

@@ -67,6 +67,7 @@ class FollowerAgent:
         avoid_cyclic: bool = False,
         episode_len: int = None,
     ) -> Tuple[FollowerLosses, C.RolloutResult, dict]:
+        params = C.cast_compute_params(params, self.compute_dtype)
         drop = self.cfg.DROP_RATE
         rng, rng_enc = jax.random.split(rng)
         ctx_mask = ep.instr_tokens == PAD_IDX

@@ -71,6 +71,7 @@ class SelfMonitorAgent:
         lamb: float = 0.5,
         episode_len: int = None,
     ) -> Tuple[MonitorLosses, C.RolloutResult, dict]:
+        params = C.cast_compute_params(params, self.compute_dtype)
         drop = self.cfg.DROP_RATE
         rng, rng_enc = jax.random.split(rng)
         # monitor pads ctx/mask to the full MAX_ENC_LEN (ref: monitor.py:68-87)

@@ -148,9 +148,11 @@ class SelfPacedCurriculum:
         tables = M.replicate(tables, mesh)
         batch_sh = M.batch_sharding(mesh)
         self.weight = M.replicate(self.weight, mesh)
+        is_main = jax.process_index() == 0  # multi-host: process 0 writes
 
         time_str = time.strftime("%Y-%m%d-%H:%M", time.localtime())
-        writer = ScalarWriter(osp.join(tsboard_dir, time_str) if tsboard_dir else None)
+        writer = ScalarWriter(osp.join(tsboard_dir, time_str)
+                              if (tsboard_dir and is_main) else None)
 
         rng = jax.random.PRNGKey(seed)
         rng, init_rng = jax.random.split(rng)
@@ -265,11 +267,13 @@ class SelfPacedCurriculum:
                         writer.add_scalar(f"{key}/{mk}", scores[mk], ep)
                     if key in best_val and scores["success_rate"] > best_val[key]["success_rate"]:
                         best_val[key]["success_rate"] = scores["success_rate"]
-                        path = osp.join(output_ckpt_dir, f"best_{key}_SR:{scores['success_rate']:.4f}.ckpt")
-                        clean_dir(output_ckpt_dir, clean_key=f"best_{key}")
-                        save_checkpoint(path, params, opt_state, model_state, rng, ep,
-                                        curriculum=self.state_dict(loss_for_item), cfg_yaml=cfg.dump())
-                prettyprint(summary)
+                        if is_main:
+                            path = osp.join(output_ckpt_dir, f"best_{key}_SR:{scores['success_rate']:.4f}.ckpt")
+                            clean_dir(output_ckpt_dir, clean_key=f"best_{key}")
+                            save_checkpoint(path, params, opt_state, model_state, rng, ep,
+                                            curriculum=self.state_dict(loss_for_item), cfg_yaml=cfg.dump())
+                if is_main:
+                    prettyprint(summary)
 
             # SPCL parameter update (ref: curriculum.py:403-415)
             if ep >= self.burn_in and ep % self.update_interval == 0:
@@ -290,9 +294,10 @@ class SelfPacedCurriculum:
                         logger.info("Round[%d] weight avg %.3f min %.3f max %.3f",
                                     k, wk.mean(), wk.min(), wk.max())
 
-            save_checkpoint(osp.join(ckpt_root, "latest.ckpt"),
-                            params, opt_state, model_state, rng, ep,
-                            curriculum=self.state_dict(loss_for_item), cfg_yaml=cfg.dump())
+            if is_main:
+                save_checkpoint(osp.join(ckpt_root, "latest.ckpt"),
+                                params, opt_state, model_state, rng, ep,
+                                curriculum=self.state_dict(loss_for_item), cfg_yaml=cfg.dump())
             last_time = time.time()
 
         writer.close()

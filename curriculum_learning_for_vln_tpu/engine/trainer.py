@@ -40,7 +40,7 @@ def _flat_envs(envs):
             yield env
 
 
-def setup_mesh(cfg, batch_size: int, *envs):
+def setup_mesh(cfg, batch_size: int, train_env=None, *eval_envs):
     """Build the production ('data','model') mesh from cfg.TPU and point
     every episode source at it: emitted batches come out sharded on the
     'data' axis, so the jitted train/eval steps run SPMD over all chips
@@ -48,17 +48,26 @@ def setup_mesh(cfg, batch_size: int, *envs):
 
     The data axis must divide every env's batch size (eval envs may use a
     different size than cfg.TRAIN.BATCH_SIZE), so it is fit to their gcd.
+
+    Multi-host: training batches stay sharded (each process contributes
+    its shards — env.host_env multihost path); evaluation batches are
+    replicated instead, so trajectory assembly and scoring stay host-local
+    with no cross-host gather of results.
     """
     import math
 
-    for env in _flat_envs(envs):
+    for env in _flat_envs((train_env,) + eval_envs):
         batch_size = math.gcd(batch_size, env.batch_size)
     mesh = M.mesh_from_config(cfg, batch_size)
     sh = M.batch_sharding(mesh)
-    for env in _flat_envs(envs):
+    eval_sh = M.replicated(mesh) if jax.process_count() > 1 else sh
+    for env in _flat_envs((train_env,)):
         env.set_sharding(sh)
-    logger.info("Device mesh: data=%d model=%d (of %d devices)",
-                mesh.shape["data"], mesh.shape["model"], jax.device_count())
+    for env in _flat_envs(eval_envs):
+        env.set_sharding(eval_sh)
+    logger.info("Device mesh: data=%d model=%d (of %d devices, %d processes)",
+                mesh.shape["data"], mesh.shape["model"], jax.device_count(),
+                jax.process_count())
     return mesh
 
 
@@ -126,9 +135,12 @@ class ClassicTrainer:
         # and world tables replicated; one SPMD program over all chips
         mesh = setup_mesh(cfg, train_cfg.BATCH_SIZE, train_env, valid_env, eval_train_env)
         tables = M.replicate(tables, mesh)
+        # multi-host: only process 0 writes logs/checkpoints/tables
+        is_main = jax.process_index() == 0
 
         time_str = time.strftime("%Y-%m%d-%H:%M", time.localtime())
-        writer = ScalarWriter(osp.join(tsboard_dir, time_str) if tsboard_dir else None)
+        writer = ScalarWriter(osp.join(tsboard_dir, time_str)
+                              if (tsboard_dir and is_main) else None)
 
         rng = jax.random.PRNGKey(seed)
         rng, init_rng = jax.random.split(rng)
@@ -261,7 +273,8 @@ class ClassicTrainer:
                     for mk in ("lengths", "steps", "nav_error", "oracle_error",
                                "success_rate", "oracle_rate", "spl", "ndtw", "sdtw"):
                         writer.add_scalar(f"eval_{key}/{mk}", scores[mk], ep)
-                prettyprint(summary)
+                if is_main:
+                    prettyprint(summary)
 
             if ep % train_cfg.EVAL_INTERVAL == 0:
                 summary = {}
@@ -275,19 +288,22 @@ class ClassicTrainer:
                         writer.add_scalar(f"{key}/{mk}", scores[mk], ep)
                     if key in best_val and scores["success_rate"] > best_val[key]["success_rate"]:
                         best_val[key]["success_rate"] = scores["success_rate"]
-                        path = osp.join(output_ckpt_dir, f"best_{key}_SR:{scores['success_rate']:.4f}.ckpt")
-                        clean_dir(output_ckpt_dir, clean_key=f"best_{key}")
-                        save_checkpoint(path, params, opt_state, model_state, rng, ep,
-                                        cfg_yaml=cfg.dump())
-                        logger.info("Saved best %s SR=%.4f -> %s", key, scores["success_rate"], path)
-                prettyprint(summary)
+                        if is_main:
+                            path = osp.join(output_ckpt_dir, f"best_{key}_SR:{scores['success_rate']:.4f}.ckpt")
+                            clean_dir(output_ckpt_dir, clean_key=f"best_{key}")
+                            save_checkpoint(path, params, opt_state, model_state, rng, ep,
+                                            cfg_yaml=cfg.dump())
+                            logger.info("Saved best %s SR=%.4f -> %s", key, scores["success_rate"], path)
+                if is_main:
+                    prettyprint(summary)
 
-            clean_dir(output_ckpt_dir, clean_key="latest_ep")
-            save_checkpoint(osp.join(output_ckpt_dir, f"latest_ep{ep}.ckpt"),
-                            params, opt_state, model_state, rng, ep, cfg_yaml=cfg.dump())
-            # stable "latest" for OUTPUT.RESUME=latest
-            save_checkpoint(osp.join(ckpt_root, "latest.ckpt"),
-                            params, opt_state, model_state, rng, ep, cfg_yaml=cfg.dump())
+            if is_main:
+                clean_dir(output_ckpt_dir, clean_key="latest_ep")
+                save_checkpoint(osp.join(output_ckpt_dir, f"latest_ep{ep}.ckpt"),
+                                params, opt_state, model_state, rng, ep, cfg_yaml=cfg.dump())
+                # stable "latest" for OUTPUT.RESUME=latest
+                save_checkpoint(osp.join(ckpt_root, "latest.ckpt"),
+                                params, opt_state, model_state, rng, ep, cfg_yaml=cfg.dump())
             last_time = time.time()
 
         writer.close()

@@ -99,16 +99,29 @@ class R2RBatchEnv:
         self._cur_valid: Optional[np.ndarray] = None
         self._dev = None  # lazy device-resident copy of the item arrays
         self._sharding = None  # optional NamedSharding applied to batches
+        self._multihost = False
 
     def set_sharding(self, sharding) -> None:
         """Place every emitted EpisodeBatch with this sharding (the DP
         trainers set a batch-axis NamedSharding over the 'data' mesh axis;
-        SURVEY §2.3)."""
+        SURVEY §2.3).  Under multi-host (jax.process_count() > 1) batches
+        become global arrays: every process computes the same episode
+        selection (seeded identically from the CLI seed), and each
+        contributes only the shards its devices own."""
         self._sharding = sharding
+        self._multihost = jax.process_count() > 1
 
     def _place(self, batch: EpisodeBatch) -> EpisodeBatch:
         if self._sharding is None:
             return batch
+        if self._multihost:
+            sh = self._sharding
+
+            def to_global(x):
+                x = np.asarray(x)
+                return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+            return jax.tree_util.tree_map(to_global, batch)
         return jax.device_put(batch, self._sharding)
 
     def _device_arrays(self):
@@ -153,6 +166,20 @@ class R2RBatchEnv:
             self.ix += self.batch_size
         return idx.astype(np.int64)
 
+    def _gather_np(self, idx: np.ndarray, valid: np.ndarray) -> EpisodeBatch:
+        """Host-side row gather (multi-host path: each process builds the
+        same global batch in numpy, then contributes its own shards)."""
+        return EpisodeBatch(
+            instr_tokens=self.instr_tokens[idx],
+            instr_len=self.instr_len[idx],
+            start_node=self.start_node[idx],
+            start_heading=self.start_heading[idx],
+            goal=self.goal[idx],
+            goal_local=self.goal_local[idx],
+            item_idx=idx.astype(np.int32),
+            valid=valid,
+        )
+
     def _make_batch(self, idx: np.ndarray, valid: Optional[np.ndarray] = None) -> EpisodeBatch:
         if valid is None:
             valid = np.ones(len(idx), dtype=bool)
@@ -160,6 +187,8 @@ class R2RBatchEnv:
             order = np.argsort(-self.instr_len[idx], kind="stable")
             idx, valid = idx[order], valid[order]
         self._cur_indices, self._cur_valid = idx, valid
+        if self._multihost:
+            return self._place(self._gather_np(idx, valid))
         return self._place(_gather_batch(self._device_arrays(), jnp.asarray(idx.astype(np.int32)),
                                          jnp.asarray(valid)))
 
@@ -173,6 +202,8 @@ class R2RBatchEnv:
 
     def _make_batch_norestore(self) -> EpisodeBatch:
         idx, valid = self._cur_indices, self._cur_valid
+        if self._multihost:
+            return self._place(self._gather_np(idx, valid))
         return self._place(_gather_batch(self._device_arrays(), jnp.asarray(idx.astype(np.int32)),
                                          jnp.asarray(valid)))
 

@@ -100,9 +100,12 @@ def lstm_scan_pallas(
             pl.BlockSpec((B, H), lambda l: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((L, B, H), xs.dtype),
-            jax.ShapeDtypeStruct((B, H), xs.dtype),
-            jax.ShapeDtypeStruct((B, H), xs.dtype),
+            # f32 like the XLA path: recurrent state/outputs never ride a
+            # bf16 accumulation path even when xs/weights are bf16 compute
+            # copies (scratch h/c are f32 already)
+            jax.ShapeDtypeStruct((L, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((B, H), jnp.float32),

@@ -37,8 +37,14 @@ def lstm_cell_xla(
     x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray,
     w_ih: jnp.ndarray, w_hh: jnp.ndarray, b: jnp.ndarray,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """LSTM cell, torch gate order (i, f, g, o)."""
-    gates = x @ w_ih + h @ w_hh + b
+    """LSTM cell, torch gate order (i, f, g, o).
+
+    Gates accumulate in f32 regardless of operand dtype so that bf16
+    compute weights (agents.common.cast_compute_params) never put the
+    recurrent state on a bf16 accumulation path."""
+    gates = (jnp.dot(x, w_ih, preferred_element_type=jnp.float32)
+             + jnp.dot(h, w_hh, preferred_element_type=jnp.float32)
+             + b.astype(jnp.float32))
     H = h.shape[-1]
     i = jax.nn.sigmoid(gates[..., 0 * H : 1 * H])
     f = jax.nn.sigmoid(gates[..., 1 * H : 2 * H])
@@ -68,8 +74,8 @@ def masked_lstm_xla(xs, lengths, w_ih, w_hh, b, reverse: bool = False):
     """Packed-sequence LSTM via a masked lax.scan (see models.core docs)."""
     B, L, D = xs.shape
     H = w_hh.shape[0]
-    h0 = jnp.zeros((B, H), xs.dtype)
-    c0 = jnp.zeros((B, H), xs.dtype)
+    h0 = jnp.zeros((B, H), jnp.float32)  # recurrent state stays f32 (see lstm_cell_xla)
+    c0 = jnp.zeros((B, H), jnp.float32)
 
     def step(carry, t):
         h, c = carry

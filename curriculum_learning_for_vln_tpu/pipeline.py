@@ -49,19 +49,34 @@ def build_tokenizer(cfg) -> Tokenizer:
 
 def build_synthetic_universe(cfg, seed: int = 0):
     """Synthetic world + R2R-style splits (train/val_seen/val_unseen) and
-    5 CLR2R rounds over it."""
+    5 CLR2R rounds over it.
+
+    With TPU.SYNTHETIC_GROUNDED (default) the world is the *learnable*
+    grounded variant: nodes carry global room types, view features encode
+    the room type reachable through that view, and instructions describe
+    the path's room sequence — so training-quality comparisons (e.g. the
+    statistical parity harness) are meaningful without Matterport assets.
+    """
     graphs = SYN.make_world_graphs(cfg.TPU.SYNTHETIC_SCANS, cfg.TPU.SYNTHETIC_NODES, seed=seed)
     scans = sorted(graphs)
     n_train_scans = max(1, int(0.75 * len(scans)))
     train_scans, unseen_scans = scans[:n_train_scans], scans[n_train_scans:] or scans[:1]
 
+    feat_dim = 128 if cfg.TPU.SYNTHETIC_NODES <= 128 else 2048
+    world = WC.compile_world(graphs, max_candidates=cfg.TPU.MAX_CANDIDATES)
+    grounded = getattr(cfg.TPU, "SYNTHETIC_GROUNDED", True)
+    if grounded:
+        rooms = SYN.assign_rooms(world, seed=seed)
+        SYN.attach_grounded_features(world, rooms, feature_dim=feat_dim, seed=seed)
+        make = lambda **kw: SYN.make_grounded_dataset(graphs, world, rooms, **kw)
+    else:
+        WC.attach_synthetic_features(world, feature_dim=feat_dim)
+        make = lambda **kw: SYN.make_r2r_dataset(graphs, **kw)
+
     splits = {
-        "train": SYN.make_r2r_dataset(graphs, num_paths=240, seed=seed + 1,
-                                      path_id_base=0, scans=train_scans),
-        "val_seen": SYN.make_r2r_dataset(graphs, num_paths=40, seed=seed + 2,
-                                         path_id_base=10_000, scans=train_scans),
-        "val_unseen": SYN.make_r2r_dataset(graphs, num_paths=40, seed=seed + 3,
-                                           path_id_base=20_000, scans=unseen_scans),
+        "train": make(num_paths=240, seed=seed + 1, path_id_base=0, scans=train_scans),
+        "val_seen": make(num_paths=40, seed=seed + 2, path_id_base=10_000, scans=train_scans),
+        "val_unseen": make(num_paths=40, seed=seed + 3, path_id_base=20_000, scans=unseen_scans),
     }
     # curriculum rounds: partition train by path length (difficulty proxy)
     train_sorted = sorted(splits["train"], key=lambda it: it["distance"])
@@ -72,9 +87,6 @@ def build_synthetic_universe(cfg, seed: int = 0):
         hi = k * per if k < 5 else len(train_sorted)
         rounds_raw[f"round_{k}"] = train_sorted[lo:hi]
 
-    feat_dim = 128 if cfg.TPU.SYNTHETIC_NODES <= 128 else 2048
-    world = WC.compile_world(graphs, max_candidates=cfg.TPU.MAX_CANDIDATES)
-    WC.attach_synthetic_features(world, feature_dim=feat_dim)
     return world, splits, rounds_raw, feat_dim
 
 

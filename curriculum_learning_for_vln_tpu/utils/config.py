@@ -263,6 +263,7 @@ _C.TPU.USE_PALLAS = True                   # enable Pallas kernels on TPU backen
 _C.TPU.SYNTHETIC_WORLD = False             # use a synthetic world (no connectivity data)
 _C.TPU.SYNTHETIC_SCANS = 8
 _C.TPU.SYNTHETIC_NODES = 64
+_C.TPU.SYNTHETIC_GROUNDED = True           # learnable grounded task (room-type features)
 _C.TPU.MAX_CANDIDATES = 16                 # static candidate-slot count (R2R max ~14)
 _C.TPU.SCAN_ITERS = 1                      # training iterations fused per dispatch (1 = off)
 _C.TPU.COMPILATION_CACHE = ".jax_cache"    # persistent XLA compile cache dir ("" = off)

@@ -166,3 +166,117 @@ def synthetic_features(
     h = int.from_bytes(hashlib.sha1(scan_node_key.encode()).digest()[:8], "little")
     rng = np.random.default_rng(h)
     return rng.standard_normal((num_views, dim)).astype(dtype) * 0.5 + 0.5
+
+
+# ---------------------------------------------------------------------------
+# Grounded synthetic worlds: a *learnable* VLN task with zero external data
+# ---------------------------------------------------------------------------
+#
+# Plain synthetic features are per-node random hashes and instructions are
+# word salad, so navigation on held-out scans is unlearnable by
+# construction — fine for perf/micro tests, useless for training-quality
+# comparisons.  The grounded mode assigns every node a room type from a
+# GLOBAL vocabulary, makes each view's feature encode the room type of the
+# neighbor reachable in that direction (shared room embeddings -> transfers
+# to unseen scans), and generates instructions as the path's room-type
+# sequence.  An agent that grounds instruction tokens in candidate features
+# can then genuinely learn the task — the statistical parity harness
+# (scripts/parity_matrix.py) trains on these worlds.
+
+ROOM_TYPES = [
+    "kitchen", "hallway", "bedroom", "bathroom", "office", "lounge",
+    "garage", "stairway", "porch", "closet", "library", "dining",
+]
+
+_STARTERS = ["walk to the", "go to the", "head to the", "move to the"]
+_JOINERS = ["then", "and then", "next", "after that"]
+
+
+def assign_rooms(world, seed: int = 0) -> np.ndarray:
+    """Global [num_nodes] room-type index per viewpoint, seeded from each
+    node's string id so it is stable across processes and node orderings."""
+    rooms = np.empty(world.num_nodes, dtype=np.int32)
+    for g in range(world.num_nodes):
+        key = f"{world.scan_of(g)}_{world.node_ids[g]}_room_{seed}"
+        h = int.from_bytes(hashlib.sha1(key.encode()).digest()[:8], "little")
+        rooms[g] = h % len(ROOM_TYPES)
+    return rooms
+
+
+def attach_grounded_features(world, rooms: np.ndarray, feature_dim: int = 2048,
+                             noise: float = 0.3, seed: int = 0) -> None:
+    """Features where view v at node u encodes the room type of the
+    neighbor reached through v (plus noise).  Room embeddings are global —
+    the visual grounding transfers to held-out scans, like real ResNet
+    features of real room types."""
+    rng = np.random.default_rng(seed)
+    room_emb = rng.standard_normal((len(ROOM_TYPES), feature_dim)).astype(np.float32)
+    feats = (rng.standard_normal((world.num_nodes, 36, feature_dim)) * noise).astype(np.float32)
+    for g in range(world.num_nodes):
+        for j in range(int(world.n_cands[g])):
+            v = int(world.cand_view[g, j])
+            nxt = int(world.cand_next[g, j])
+            feats[g, v] += room_emb[rooms[nxt]]
+    world.features = feats
+
+
+def grounded_instruction(room_seq: List[int], rng) -> str:
+    """Instruction text for a path whose nodes (after the start) have the
+    given room types, e.g. 'walk to the kitchen then go to the hallway .'"""
+    parts = []
+    for i, r in enumerate(room_seq):
+        starter = _STARTERS[int(rng.integers(len(_STARTERS)))]
+        if i == 0:
+            parts.append(f"{starter} {ROOM_TYPES[r]}")
+        elif i == len(room_seq) - 1:
+            parts.append(f"{_JOINERS[int(rng.integers(len(_JOINERS)))]} stop at the {ROOM_TYPES[r]}")
+        else:
+            parts.append(f"{_JOINERS[int(rng.integers(len(_JOINERS)))]} {starter} {ROOM_TYPES[r]}")
+    return " ".join(parts) + " ."
+
+
+def make_grounded_dataset(
+    graphs: Dict[str, ScanGraph],
+    world,
+    rooms: np.ndarray,
+    num_paths: int = 64,
+    seed: int = 0,
+    min_hops: int = 3,
+    max_hops: int = 6,
+    instructions_per_path: int = 3,
+    path_id_base: int = 0,
+    scans: Optional[Sequence[str]] = None,
+) -> List[dict]:
+    """R2R-format items whose instructions describe the path's room-type
+    sequence (see attach_grounded_features)."""
+    rng = np.random.default_rng(seed)
+    scan_list = list(scans) if scans is not None else sorted(graphs)
+    sp_cache: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+    items = []
+    for p in range(num_paths):
+        scan = scan_list[int(rng.integers(len(scan_list)))]
+        g = graphs[scan]
+        if scan not in sp_cache:
+            sp_cache[scan] = shortest_paths(g)
+        dist, nh = sp_cache[scan]
+        for _ in range(50):
+            start = int(rng.integers(g.num_nodes))
+            goal = int(rng.integers(g.num_nodes))
+            path = _walk(nh, start, goal)
+            if min_hops <= len(path) - 1 <= max_hops and dist[start, goal] < 1e8:
+                break
+        else:
+            continue
+        room_seq = [int(rooms[world.global_id(scan, g.node_ids[i])]) for i in path[1:]]
+        instrs = [grounded_instruction(room_seq, rng) for _ in range(instructions_per_path)]
+        items.append(
+            {
+                "distance": float(round(dist[start, goal], 2)),
+                "scan": scan,
+                "path_id": path_id_base + p,
+                "path": [g.node_ids[i] for i in path],
+                "heading": float(rng.uniform(0, 2 * np.pi)),
+                "instructions": instrs,
+            }
+        )
+    return items

@@ -37,6 +37,21 @@ def main(args, cfg):
     # an experimental TPU backend first — it would win the default otherwise.
     if os.environ.get("JAX_PLATFORMS", "") == "cpu":
         jax.config.update("jax_platforms", "cpu")
+
+    # Multi-host entry point (SURVEY §7.2 step 9): explicit env-var driven
+    # bootstrap (VLN_COORDINATOR host:port + VLN_NUM_PROCESSES +
+    # VLN_PROCESS_ID), or VLN_MULTIHOST=1 for auto-detection on TPU pods.
+    # Must run before the first device query.
+    if os.environ.get("VLN_COORDINATOR"):
+        jax.distributed.initialize(
+            coordinator_address=os.environ["VLN_COORDINATOR"],
+            num_processes=int(os.environ["VLN_NUM_PROCESSES"]),
+            process_id=int(os.environ["VLN_PROCESS_ID"]),
+        )
+        logger.info("[2] multi-host: process %d/%d", jax.process_index(), jax.process_count())
+    elif os.environ.get("VLN_MULTIHOST") == "1":
+        jax.distributed.initialize()
+        logger.info("[2] multi-host (auto): process %d/%d", jax.process_index(), jax.process_count())
     logger.info("[2] devices: %s", jax.devices())
 
     tok = pipeline.build_tokenizer(cfg)

@@ -1,0 +1,96 @@
+"""Multi-host (multi-process) training: 2-process CPU mesh through the
+real CLI produces the same metrics as a single process (SURVEY §7.2
+step 9 — the reference is single-process single-GPU)."""
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+OVERRIDES = [
+    "TPU.SYNTHETIC_WORLD", "True",
+    "TPU.SYNTHETIC_SCANS", "2",
+    "TPU.SYNTHETIC_NODES", "24",
+    "TPU.PRECISION", "f32",   # bf16 rounding can flip eval argmax between mesh layouts
+    "TPU.COMPILATION_CACHE", os.path.join(REPO, ".jax_cache"),
+    "TRAIN.MAX_EPOCH", "1",
+    "TRAIN.ITER_PER_EPOCH", "3",
+    "TRAIN.BATCH_SIZE", "8",
+    "TRAIN.EVAL_INTERVAL", "1",
+    "TRAIN.OPTIM", "sgd",
+    "AGENT.MAX_EPISODE_LEN", "8",
+    "AGENT.FEEDBACK", "teacher",
+]
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _run_cli(tmp_path, tag, extra_env, devices_per_proc=2):
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": f"--xla_force_host_platform_device_count={devices_per_proc}",
+    })
+    env.update(extra_env)
+    out_dir = tmp_path / tag
+    cmd = [
+        sys.executable, "main.py",
+        "--config-file", "configs/follower/follower_config.yaml",
+        "--seed", "2020",
+        "OUTPUT.CKPT_DIR", str(out_dir / "ckpt"),
+        "OUTPUT.TSBOARD_DIR", str(out_dir / "tb"),
+        "OUTPUT.LOG_DIR", str(out_dir / "logs"),
+    ] + OVERRIDES
+    return subprocess.Popen(cmd, cwd=REPO, env=env,
+                            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+
+
+def _events(tmp_path, tag):
+    tb = tmp_path / tag / "tb"
+    sub = os.listdir(tb)[0]
+    events = []
+    with open(tb / sub / "events.jsonl") as f:
+        for line in f:
+            events.append(json.loads(line))
+    return {(e["tag"], e["step"]): e["value"] for e in events}
+
+
+def test_two_process_cli_matches_single_process(tmp_path):
+    port = _free_port()
+    # --- 2-process run: 2 procs x 2 virtual devices = 4-way DP ---
+    procs = []
+    for pid in range(2):
+        procs.append(_run_cli(tmp_path, f"mh{pid}" if pid else "mh", {
+            "VLN_COORDINATOR": f"127.0.0.1:{port}",
+            "VLN_NUM_PROCESSES": "2",
+            "VLN_PROCESS_ID": str(pid),
+        }))
+    outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+
+    # --- single-process run, same seed ---
+    p1 = _run_cli(tmp_path, "sp", {}, devices_per_proc=2)
+    out1 = p1.communicate(timeout=900)[0].decode()
+    assert p1.returncode == 0, out1[-3000:]
+
+    mh = _events(tmp_path, "mh")   # process 0 wrote the tsboard stream
+    sp = _events(tmp_path, "sp")
+    assert set(mh) == set(sp)
+    for key in sorted(sp):
+        assert np.isclose(mh[key], sp[key], rtol=1e-4, atol=1e-4), (key, mh[key], sp[key])
+
+    # only process 0 wrote checkpoints (process 1 may mkdir, never write)
+    assert os.path.exists(tmp_path / "mh" / "ckpt" / "latest.ckpt")
+    assert not os.path.exists(tmp_path / "mh1" / "ckpt" / "latest.ckpt")

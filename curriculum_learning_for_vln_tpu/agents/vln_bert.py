@@ -47,8 +47,8 @@ class VLNBertScorer:
     def score_paths(self, params, instr_tokens, image_features, image_locations,
                     attention_mask=None, image_attention_mask=None):
         """vil_logit for a batch of (path, instruction) pairs."""
-        logit, _, _ = self.apply(params, instr_tokens, image_features, image_locations,
-                                 attention_mask, image_attention_mask, train=False)
+        logit, _, _, _ = self.apply(params, instr_tokens, image_features, image_locations,
+                                    attention_mask, image_attention_mask, train=False)
         return logit[:, 0]
 
 

@@ -3,6 +3,8 @@ from .checkpoint import load_checkpoint, save_checkpoint
 from .curriculum import NaiveCurriculum, SelfPacedCurriculum, spcl_update_lambda, spcl_update_weight
 from .evaluator import Evaluation
 from .loop import build_eval_rollout, build_train_step, make_optimizer, run_eval, write_results
+from .pretrain import (VLNBertPretrainer, make_clr2r_rounds, pretrain_batches,
+                       score_difficulty)
 from .self_train import build_backtranslation_step, pretrain_speaker, self_train
 from .trainer import ClassicTrainer, check_the_code, dedup_by_path
 
@@ -12,4 +14,5 @@ __all__ = [
     "make_optimizer", "run_eval", "save_checkpoint", "load_checkpoint",
     "spcl_update_weight", "spcl_update_lambda", "self_train",
     "pretrain_speaker", "build_backtranslation_step", "write_results",
+    "VLNBertPretrainer", "pretrain_batches", "score_difficulty", "make_clr2r_rounds",
 ]

@@ -1,0 +1,267 @@
+"""ViLBERT multi-modal pretraining driver + CLR2R difficulty scoring.
+
+The reference ships the pretraining heads (`BertForMultiModalPreTraining`,
+ref: tasks/R2R-judy/src/model/vilbert.py:1431-1513) and the path-selection
+scorer (`vln_bert.py:24-75`) but NO in-repo training or inference driver —
+the paper's CLR2R rounds were produced offline.  This module exceeds that:
+
+* device-side BERT-style masking (masked LM + masked vision regions +
+  path-instruction alignment) fused into one jitted loss,
+* ``VLNBertPretrainer`` — a compact adam loop over (tokens, regions,
+  locations, alignment-label) batches,
+* ``score_difficulty`` / ``make_clr2r_rounds`` — the paper's CLR2R
+  construction: rank items by the scorer's path-instruction compatibility
+  logit (higher = easier) and partition into rounds
+  (ref: curriculum_env.py:44-62 consumes the resulting round files).
+"""
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.vilbert import VilBertConfig, vlnbert_apply, vlnbert_init
+from ..utils.tokenizer import PAD_IDX
+
+logger = logging.getLogger("main.pretrain")
+
+N_SPECIAL_TOKENS = 4  # <PAD>, <UNK>, <EOS>, <BOS> — never masked
+
+
+def mask_lm_tokens(rng, tokens: jnp.ndarray, vocab_size: int, mask_idx: int,
+                   p: float = 0.15) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """BERT masking on device: select p of the non-special tokens; of those
+    80% -> [MASK], 10% -> random word, 10% -> unchanged.  Returns
+    (masked_tokens, labels) with label -1 where no prediction is asked."""
+    r_sel, r_kind, r_word = jax.random.split(rng, 3)
+    maskable = tokens >= N_SPECIAL_TOKENS
+    sel = (jax.random.uniform(r_sel, tokens.shape) < p) & maskable
+    kind = jax.random.uniform(r_kind, tokens.shape)
+    rand_words = jax.random.randint(r_word, tokens.shape, N_SPECIAL_TOKENS, vocab_size)
+    replaced = jnp.where(kind < 0.8, mask_idx,
+                         jnp.where(kind < 0.9, rand_words, tokens))
+    masked = jnp.where(sel, replaced, tokens)
+    labels = jnp.where(sel, tokens, -1)
+    return masked, labels
+
+
+def mask_regions(rng, feats: jnp.ndarray, region_mask: jnp.ndarray,
+                 p: float = 0.15) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Mask p of the valid regions by zeroing their features (ref keeps
+    10% unchanged; the simpler always-zero variant is used here and
+    documented as a deviation).  Returns (masked_feats, predict_mask)."""
+    sel = (jax.random.uniform(rng, feats.shape[:-1]) < p) & (region_mask > 0)
+    masked = jnp.where(sel[..., None], 0.0, feats)
+    return masked, sel
+
+
+def build_pretrain_loss(cfg: VilBertConfig, mask_idx: int,
+                        mask_p: float = 0.15, region_p: float = 0.15):
+    """(params, tokens, feats, locs, region_mask, region_targets,
+    align_labels, rng) -> (loss, logs).  region_targets: [B, R, v_target]
+    probability targets for masked-region prediction (KL, like the
+    reference's soft-label region loss, vilbert.py:1493-1503); pass
+    uniform rows to disable (KL becomes a constant)."""
+
+    def loss_fn(params, tokens, feats, locs, region_mask, region_targets,
+                align_labels, rng, train: bool = True):
+        r_lm, r_rg, r_fwd = jax.random.split(rng, 3)
+        masked_tokens, lm_labels = mask_lm_tokens(r_lm, tokens, cfg.vocab_size,
+                                                  mask_idx, mask_p)
+        masked_feats, region_sel = mask_regions(r_rg, feats, region_mask, region_p)
+
+        _, vision_pred, linguistic_pred, seq_rel = vlnbert_apply(
+            params, cfg, masked_tokens, masked_feats, locs,
+            attention_mask=(tokens != PAD_IDX).astype(jnp.float32),
+            image_attention_mask=region_mask.astype(jnp.float32),
+            rng=r_fwd, train=train,
+        )
+
+        # masked LM CE (mean over predicted positions; ref ignore_index=-1)
+        logp = jax.nn.log_softmax(linguistic_pred, axis=-1)
+        tgt = jnp.clip(lm_labels, 0, cfg.vocab_size - 1)
+        ce = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+        lm_mask = (lm_labels >= 0).astype(jnp.float32)
+        lm_loss = jnp.sum(ce * lm_mask) / jnp.maximum(jnp.sum(lm_mask), 1.0)
+
+        # masked region KL(target || pred) over masked regions
+        vlogp = jax.nn.log_softmax(vision_pred, axis=-1)
+        kl = jnp.sum(region_targets * (jnp.log(region_targets + 1e-9) - vlogp), axis=-1)
+        rg_mask = region_sel.astype(jnp.float32)
+        region_loss = jnp.sum(kl * rg_mask) / jnp.maximum(jnp.sum(rg_mask), 1.0)
+
+        # alignment CE (is this instruction for this path?)
+        alogp = jax.nn.log_softmax(seq_rel, axis=-1)
+        align_loss = -jnp.mean(
+            jnp.take_along_axis(alogp, align_labels[:, None].astype(jnp.int32), axis=-1))
+
+        total = lm_loss + region_loss + align_loss
+        logs = {"loss": total, "lm_loss": lm_loss, "region_loss": region_loss,
+                "align_loss": align_loss}
+        return total, logs
+
+    return loss_fn
+
+
+class VLNBertPretrainer:
+    """Compact multi-modal pretraining loop (adam, jitted fused step)."""
+
+    def __init__(self, cfg: VilBertConfig, mask_idx: int, lr: float = 1e-4,
+                 mask_p: float = 0.15, region_p: float = 0.15):
+        self.cfg = cfg
+        self.optimizer = optax.adam(lr)
+        loss_fn = build_pretrain_loss(cfg, mask_idx, mask_p, region_p)
+        self.loss_fn = loss_fn
+
+        def step(params, opt_state, batch, rng):
+            (loss, logs), grads = jax.value_and_grad(
+                lambda p: loss_fn(p, batch["tokens"], batch["feats"], batch["locs"],
+                                  batch["region_mask"], batch["region_targets"],
+                                  batch["align_labels"], rng), has_aux=True)(params)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, logs
+
+        self._step = jax.jit(step, donate_argnums=(0, 1))
+
+    def init(self, key):
+        params = vlnbert_init(key, self.cfg)
+        return params, self.optimizer.init(params)
+
+    def train(self, params, opt_state, batches, rng, log_every: int = 20):
+        """Run through an iterable of batches; returns (params, opt_state,
+        last_logs)."""
+        logs = None
+        for i, batch in enumerate(batches):
+            rng, r = jax.random.split(rng)
+            params, opt_state, logs = self._step(params, opt_state, batch, r)
+            if log_every and (i + 1) % log_every == 0:
+                host = {k: float(v) for k, v in jax.device_get(logs).items()}
+                logger.info("pretrain iter %d: %s", i + 1, host)
+        return params, opt_state, logs
+
+
+# ---------------------------------------------------------------------------
+# Pretraining batches + CLR2R difficulty scoring over a compiled world
+# ---------------------------------------------------------------------------
+
+def views_along_path(world, global_nodes: Sequence[int]) -> List[int]:
+    """View index at each path node: the view toward the next node
+    (candidate table lookup); the final node keeps the previous view."""
+    views: List[int] = []
+    for t in range(len(global_nodes) - 1):
+        g, nxt = int(global_nodes[t]), int(global_nodes[t + 1])
+        view = 12  # level default
+        for j in range(int(world.n_cands[g])):
+            if int(world.cand_next[g, j]) == nxt:
+                view = int(world.cand_view[g, j])
+                break
+        views.append(view)
+    views.append(views[-1] if views else 12)
+    return views
+
+
+def pretrain_arrays(world, items: Sequence[dict], tok, max_path_len: int,
+                    feat_dim: int, region_classes: Optional[np.ndarray] = None,
+                    n_region_classes: Optional[int] = None):
+    """Pack (tokens, feats, locs, region_mask, region_targets) for a list
+    of expanded instruction items.  ``region_classes`` ([num_nodes] int,
+    e.g. grounded room types) become one-hot region targets; without them
+    targets are uniform (region loss inert, like the reference without
+    region labels)."""
+    from ..agents.vln_bert import path_scorer_inputs
+
+    n = len(items)
+    L = len(items[0]["instr_encoding"])
+    tokens = np.zeros((n, L), np.int32)
+    feats = np.zeros((n, max_path_len, feat_dim), np.float32)
+    locs = np.zeros((n, max_path_len, 12), np.float32)
+    region_mask = np.zeros((n, max_path_len), np.float32)
+    k = n_region_classes or (int(region_classes.max()) + 1 if region_classes is not None else 2)
+    targets = np.full((n, max_path_len, k), 1.0 / k, np.float32)
+    for i, item in enumerate(items):
+        tokens[i] = item["instr_encoding"]
+        nodes = [world.global_id(item["scan"], vp) for vp in item["path"]][:max_path_len]
+        views = views_along_path(world, nodes)
+        f, l, m = path_scorer_inputs(world, item["scan"], nodes, views,
+                                     max_path_len, feat_dim)
+        feats[i], locs[i], region_mask[i] = f, l, m
+        if region_classes is not None:
+            for t, g in enumerate(nodes):
+                one = np.zeros(k, np.float32)
+                one[int(region_classes[g])] = 1.0
+                targets[i, t] = one
+    return tokens, feats, locs, region_mask, targets
+
+
+def pretrain_batches(world, items: Sequence[dict], tok, batch_size: int,
+                     max_path_len: int, feat_dim: int,
+                     region_classes=None, n_region_classes=None,
+                     epochs: int = 1, seed: int = 0, mismatch_p: float = 0.5):
+    """Yield pretraining batch dicts; ``mismatch_p`` of the rows get an
+    instruction swapped in from another item (alignment label 0)."""
+    tokens, feats, locs, region_mask, targets = pretrain_arrays(
+        world, items, tok, max_path_len, feat_dim, region_classes, n_region_classes)
+    n = len(items)
+    rng = np.random.default_rng(seed)
+    for _ in range(epochs):
+        order = rng.permutation(n)
+        for s in range(0, n - batch_size + 1, batch_size):
+            idx = order[s: s + batch_size]
+            toks = tokens[idx].copy()
+            labels = np.ones(batch_size, np.int32)
+            swap = rng.random(batch_size) < mismatch_p
+            for b in np.where(swap)[0]:
+                j = int(rng.integers(n - 1))
+                j = j + (j >= idx[b])  # any other item
+                toks[b] = tokens[j]
+                labels[b] = 0
+            yield {
+                "tokens": jnp.asarray(toks),
+                "feats": jnp.asarray(feats[idx]),
+                "locs": jnp.asarray(locs[idx]),
+                "region_mask": jnp.asarray(region_mask[idx]),
+                "region_targets": jnp.asarray(targets[idx]),
+                "align_labels": jnp.asarray(labels),
+            }
+
+
+def score_difficulty(scorer, params, world, items: Sequence[dict], tok,
+                     max_path_len: int, feat_dim: int, batch_size: int = 32) -> np.ndarray:
+    """Path-instruction compatibility logit per item (higher = easier;
+    the paper's CLR2R difficulty signal)."""
+    tokens, feats, locs, region_mask, _ = pretrain_arrays(
+        world, items, tok, max_path_len, feat_dim)
+    out = np.zeros(len(items), np.float32)
+    score = jax.jit(lambda p, t, f, l, m, m2: scorer.score_paths(p, t, f, l, m2, m))
+    for s in range(0, len(items), batch_size):
+        e = min(s + batch_size, len(items))
+        pad = batch_size - (e - s)
+        sl = slice(s, e)
+        t = np.pad(tokens[sl], ((0, pad), (0, 0)))
+        f = np.pad(feats[sl], ((0, pad), (0, 0), (0, 0)))
+        l = np.pad(locs[sl], ((0, pad), (0, 0), (0, 0)))
+        m = np.pad(region_mask[sl], ((0, pad), (0, 0)))
+        am = (t != PAD_IDX).astype(np.float32)
+        vals = np.asarray(score(params, jnp.asarray(t), jnp.asarray(f), jnp.asarray(l),
+                                jnp.asarray(m), jnp.asarray(am)))
+        out[sl] = vals[: e - s]
+    return out
+
+
+def make_clr2r_rounds(items: Sequence[dict], scores: np.ndarray,
+                      n_rounds: int = 5) -> Dict[str, List[dict]]:
+    """Partition items into difficulty rounds, easiest (highest score)
+    first — the CLR2R construction the reference consumes as round files
+    (ref: curriculum_env.py:44-62)."""
+    order = np.argsort(-scores, kind="stable")
+    rounds: Dict[str, List[dict]] = {}
+    per = max(1, len(items) // n_rounds)
+    for k in range(1, n_rounds + 1):
+        lo = (k - 1) * per
+        hi = k * per if k < n_rounds else len(items)
+        rounds[f"round_{k}"] = [items[int(i)] for i in order[lo:hi]]
+    return rounds

@@ -409,7 +409,10 @@ def vlnbert_apply(
         raise AssertionError(cfg.fusion_method)
     pooled = dropout(jax.random.fold_in(rng, 1), pooled, dropout_prob, deterministic=not train)
     vil_logit = dense(params["vil_logit"], pooled)
-    return vil_logit, vision_pred, linguistic_pred
+    # alignment (is-next-sentence analog) head for pretraining
+    # (ref: BertForMultiModalPreTraining, vilbert.py:1431-1513)
+    seq_relationship = dense(cls["bi_seq_relationship"], pooled)
+    return vil_logit, vision_pred, linguistic_pred, seq_relationship
 
 
 # ---------------------------------------------------------------------------

@@ -68,10 +68,11 @@ def test_vlnbert_scorer(fusion):
     txt = jnp.ones((B, Lt), jnp.int32)
     imgs = jax.random.normal(jax.random.PRNGKey(1), (B, Lv, cfg.v_feature_size))
     loc = jnp.zeros((B, Lv, 12))
-    logit, vis_pred, lang_pred = scorer.apply(params, txt, imgs, loc)
+    logit, vis_pred, lang_pred, seq_rel = scorer.apply(params, txt, imgs, loc)
     assert logit.shape == (B, 1)
     assert vis_pred.shape == (B, Lv, cfg.v_target_size)
     assert lang_pred.shape == (B, Lt, cfg.vocab_size)
+    assert seq_rel.shape == (B, 2)
     scores = scorer.score_paths(params, txt, imgs, loc)
     assert scores.shape == (B,)
 

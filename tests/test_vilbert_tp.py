@@ -39,7 +39,7 @@ def test_tp_sharded_scoring_matches_replicated():
 
     @jax.jit
     def score(params, txt, imgs, loc):
-        logit, _, _ = vlnbert_apply(params, cfg, txt, imgs, loc)
+        logit, _, _, _ = vlnbert_apply(params, cfg, txt, imgs, loc)
         return logit
 
     ref = np.asarray(score(params, txt, imgs, loc))

@@ -1,4 +1,5 @@
 """Training engines (ref: tasks/R2R-judy/src/engine/__init__.py)."""
+from .auto_curriculum import AutoCurriculum, Exp3S
 from .checkpoint import load_checkpoint, save_checkpoint
 from .curriculum import NaiveCurriculum, SelfPacedCurriculum, spcl_update_lambda, spcl_update_weight
 from .evaluator import Evaluation
@@ -15,4 +16,5 @@ __all__ = [
     "spcl_update_weight", "spcl_update_lambda", "self_train",
     "pretrain_speaker", "build_backtranslation_step", "write_results",
     "VLNBertPretrainer", "pretrain_batches", "score_difficulty", "make_clr2r_rounds",
+    "AutoCurriculum", "Exp3S",
 ]

@@ -19,6 +19,7 @@ import time
 from typing import Dict, Optional
 
 import jax
+import numpy as np
 
 from ..parallel import mesh as M
 from ..utils.logging_utils import ScalarWriter, clean_dir, prettyprint
@@ -123,11 +124,22 @@ class ClassicTrainer:
         """Curriculum hook: which episode source to use this epoch."""
         return train_env
 
+    def iter_env(self, epoch_env, train_env):
+        """Per-iteration curriculum hook (AutoCurriculum samples a round
+        arm here); the default uses the epoch's env."""
+        return epoch_env
+
+    def on_epoch_losses(self, losses) -> None:
+        """Post-epoch hook receiving the per-iteration losses in draw
+        order (bandit reward feedback; syncs stay batched per epoch)."""
+
     def train(self, cfg, agent, tsboard_dir, train_env, valid_env,
               eval_train: bool = False, eval_train_env: Optional[Dict] = None,
               seed: int = 2020, max_iters_override: Optional[int] = None):
         configure_tpu_runtime(cfg)
         first_env = self.select_env(train_env, cfg.TRAIN.START_EPOCH)
+        if isinstance(first_env, dict):  # per-iteration curricula keep the round dict
+            first_env = next(iter(first_env.values()))
         tables = first_env.world.device_tables(cfg.TPU.PRECISION if hasattr(cfg, "TPU") else "f32")
         train_cfg = cfg.TRAIN
 
@@ -199,16 +211,18 @@ class ClassicTrainer:
         for ep in range(start_epoch, train_cfg.MAX_EPOCH + 1):
             epoch_env = self.select_env(train_env, ep)
             # keep per-iteration logs on device; a float() per iteration
-            # would force a device sync each step and serialize the loop
-            device_logs = []
-            scanned_logs = []
+            # would force a device sync each step and serialize the loop.
+            # Entries stay in draw order (single logs or stacked [K] scan
+            # logs) so curriculum hooks can align rewards to iterations.
+            log_entries = []
             it = 0
             while it < iters:
                 if scan_iters > 1 and iters - it >= scan_iters:
                     raw, il_lens = [], []
                     for _ in range(scan_iters):
-                        raw.append(epoch_env.next_batch())
-                        il_lens.append(il_bucket(epoch_env))
+                        env_i = self.iter_env(epoch_env, train_env)
+                        raw.append(env_i.next_batch())
+                        il_lens.append(il_bucket(env_i))
                     batches = M.shard_stacked_batch(stack_batches(raw), mesh)
                     # one static IL length for the fused K iterations
                     il_len = None if None in il_lens else max(il_lens)
@@ -217,30 +231,29 @@ class ClassicTrainer:
                     params, opt_state, model_state, slogs = scan_step(
                         tables, params, opt_state, model_state, batches, rngs,
                         il_len=il_len)
-                    scanned_logs.append({k: v for k, v in slogs.items() if k != "loss_per_sample"})
+                    log_entries.append({k: v for k, v in slogs.items() if k != "loss_per_sample"})
                     it += scan_iters
                 else:
-                    batch = epoch_env.next_batch()
-                    il_len = il_bucket(epoch_env)
+                    env_i = self.iter_env(epoch_env, train_env)
+                    batch = env_i.next_batch()
+                    il_len = il_bucket(env_i)
                     rng, rng_it = jax.random.split(rng)
                     params, opt_state, model_state, logs = train_step(
                         tables, params, opt_state, model_state, batch, rng_it,
                         il_len=il_len
                     )
-                    device_logs.append({k: v for k, v in logs.items() if k != "loss_per_sample"})
+                    log_entries.append({k: v for k, v in logs.items() if k != "loss_per_sample"})
                     it += 1
-            host_logs = jax.device_get(device_logs)
-            epoch_losses = [float(l["loss"]) for l in host_logs]
+            host_entries = jax.device_get(log_entries)
+            epoch_losses = []
             extra_logs = {"entropy": 0.0, "critic_loss": 0.0, "total_actions": 0.0, "progress_loss": 0.0}
-            for l in host_logs:
+            for entry in host_entries:
+                loss = np.atleast_1d(entry["loss"])
+                epoch_losses.extend(float(x) for x in loss)
                 for k in extra_logs:
-                    if k in l:
-                        extra_logs[k] += float(l[k])
-            for chunk in jax.device_get(scanned_logs):  # stacked [K] metric leaves
-                epoch_losses.extend(float(x) for x in chunk["loss"])
-                for k in extra_logs:
-                    if k in chunk:
-                        extra_logs[k] += float(chunk[k].sum())
+                    if k in entry:
+                        extra_logs[k] += float(np.sum(entry[k]))
+            self.on_epoch_losses(epoch_losses)
 
             epoch_loss = sum(epoch_losses)
             avg_iter = epoch_loss / len(epoch_losses)

@@ -58,11 +58,30 @@ def embedding(p: dict, ids: jnp.ndarray) -> jnp.ndarray:
 # Dropout
 # ---------------------------------------------------------------------------
 
+# Above this element count, dropout masks are drawn with the "rbg" PRNG
+# (XLA RngBitGenerator -> the TPU hardware RNG) instead of threefry.
+# Measured on v5e: threefry mask generation for the per-step EnvDrop
+# feature masks ([64,36,2048] etc.) was ~1/3 of the whole RL training
+# iteration (18.5 -> 12.0 ms/iter with feature masks off).  rbg bits are
+# not reproducible across backends, so small masks keep threefry and the
+# fast path is TPU-only (CPU tests stay bit-identical).
+_FAST_MASK_MIN_SIZE = 1 << 15
+
+
+def _rbg_key(rng):
+    """Deterministically derive an rbg-impl key from a threefry key (raw
+    uint32[2] or typed)."""
+    kd = rng if jnp.issubdtype(rng.dtype, jnp.integer) else jax.random.key_data(rng)
+    return jax.random.wrap_key_data(jnp.concatenate([kd, kd], axis=-1), impl="rbg")
+
+
 def dropout(rng, x: jnp.ndarray, rate: float, deterministic: bool) -> jnp.ndarray:
     """Inverted dropout; identity when deterministic or rate == 0."""
     if deterministic or rate == 0.0:
         return x
     keep = 1.0 - rate
+    if x.size >= _FAST_MASK_MIN_SIZE and jax.default_backend() == "tpu":
+        rng = _rbg_key(rng)
     mask = jax.random.bernoulli(rng, keep, x.shape)
     return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 

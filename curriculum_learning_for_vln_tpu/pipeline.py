@@ -123,11 +123,14 @@ def build_environments(cfg, tok: Tokenizer, seed: int = 2020):
             "val_seen": R2RBatchEnv(world, expand(splits["val_seen"]), bs, tok, seed + 11, "val_seen"),
             "val_unseen": R2RBatchEnv(world, expand(splits["val_unseen"]), bs, tok, seed + 12, "val_unseen"),
         }
-        if cfg.DATA.NAME == "CLR2R" and cfg.TRAIN.CLMODE == "NAIVE":
+        if cfg.DATA.NAME == "CLR2R" and cfg.TRAIN.CLMODE in ("NAIVE", "AUTO"):
+            # NAIVE rounds are cumulative (ref main.py:66-69); AUTO's bandit
+            # arms are the individual rounds
             train_env = {}
             acc: List[dict] = []
             for k in range(1, 6):
-                acc = acc + rounds_raw[f"round_{k}"]
+                acc = (acc + rounds_raw[f"round_{k}"]) if cfg.TRAIN.CLMODE == "NAIVE" \
+                    else rounds_raw[f"round_{k}"]
                 train_env[f"round_{k}"] = R2RBatchEnv(world, expand(acc), bs, tok, seed + k, "train")
         elif cfg.DATA.NAME == "CLR2R" and cfg.TRAIN.CLMODE == "SELF-PACE":
             rounds = {k: expand(v) for k, v in rounds_raw.items()}
@@ -187,11 +190,12 @@ def build_environments(cfg, tok: Tokenizer, seed: int = 2020):
         "val_seen": R2RBatchEnv(world, expand(val_seen_items), bs, tok, seed + 11, "val_seen"),
         "val_unseen": R2RBatchEnv(world, expand(val_unseen_items), bs, tok, seed + 12, "val_unseen"),
     }
-    if cfg.DATA.NAME == "CLR2R" and cfg.TRAIN.CLMODE == "NAIVE":
+    if cfg.DATA.NAME == "CLR2R" and cfg.TRAIN.CLMODE in ("NAIVE", "AUTO"):
         train_env = {}
         for k in range(1, 6):
             items = []
-            for i in range(1, k + 1):
+            lo = 1 if cfg.TRAIN.CLMODE == "NAIVE" else k  # NAIVE: cumulative
+            for i in range(lo, k + 1):
                 items += DS.load_datasets([DS.clr2r_split_name(i)], "CLR2R", cfg.DATA.DATA_DIR)
             train_env[f"round_{k}"] = R2RBatchEnv(world, expand(items), bs, tok, seed + k, "train")
     elif cfg.DATA.NAME == "CLR2R" and cfg.TRAIN.CLMODE == "SELF-PACE":

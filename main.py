@@ -69,6 +69,11 @@ def main(args, cfg):
         if cfg.DATA.NAME == "CLR2R" and cfg.TRAIN.CLMODE == "NAIVE":
             trainer = engine.NaiveCurriculum()
             logger.info("Using NaiveCurriculum trainer")
+        elif cfg.DATA.NAME == "CLR2R" and cfg.TRAIN.CLMODE == "AUTO":
+            # Exp3.S bandit curriculum — the reference reserves the
+            # TRAIN.AUTO_CULM keys but never implements it
+            trainer = engine.AutoCurriculum.from_config(cfg, seed=args.seed)
+            logger.info("Using AutoCurriculum (Exp3.S) trainer")
         elif cfg.DATA.NAME == "CLR2R" and cfg.TRAIN.CLMODE == "SELF-PACE":
             trainer = engine.SelfPacedCurriculum(
                 train_env,

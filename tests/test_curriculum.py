@@ -1,4 +1,5 @@
 """Curriculum engines: naive round schedule and SPCL weight solver."""
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -132,3 +133,67 @@ def test_spcl_training_runs(cl_env, synth_world, tokenizer, tmp_path):
     w_after = np.asarray(spcl.weight)
     assert not np.allclose(w_before, w_after)  # solver ran
     assert float(spcl.lamb) > 2.0             # lambda advanced
+
+
+# ---------------------------------------------------------------------------
+# Exp3.S automated curriculum (the reference only reserves the config keys)
+# ---------------------------------------------------------------------------
+
+def test_exp3s_prefers_rewarding_arm():
+    from curriculum_learning_for_vln_tpu.engine import Exp3S
+
+    bandit = Exp3S(n_arms=3, eta=0.3, eps=0.05, alpha=0.001, rrsize=50, seed=0)
+    for _ in range(200):
+        arm = bandit.sample()
+        reward = 1.0 if arm == 1 else -1.0
+        bandit.update(arm, reward)
+    pi = bandit.pi
+    assert pi[1] > 0.6, pi
+    assert abs(pi.sum() - 1.0) < 1e-6
+    # exploration floor from eps
+    assert pi.min() >= 0.05 / 3 - 1e-9
+
+
+def test_auto_curriculum_trains(synth_world, synth_dataset, tokenizer, tmp_path):
+    """AutoCurriculum drives ClassicTrainer per-iteration round sampling
+    end to end and the bandit actually receives rewards."""
+    from curriculum_learning_for_vln_tpu.agents import build_agent
+    from curriculum_learning_for_vln_tpu.engine import AutoCurriculum
+    from curriculum_learning_for_vln_tpu.env.host_env import R2RBatchEnv
+    from curriculum_learning_for_vln_tpu.data.datasets import expand_r2r_items
+    from curriculum_learning_for_vln_tpu.utils.config import get_cfg_defaults
+
+    data = expand_r2r_items(synth_dataset, tokenizer)
+    per = max(1, len(data) // 5)
+    train_env = {
+        f"round_{k}": R2RBatchEnv(synth_world, data[(k - 1) * per: k * per + 6],
+                                  batch_size=6, tokenizer=tokenizer, seed=k)
+        for k in range(1, 6)
+    }
+    valid_env = {"val_seen": R2RBatchEnv(synth_world, data[:18], batch_size=6,
+                                         tokenizer=tokenizer, seed=9)}
+    cfg = get_cfg_defaults()
+    cfg.MODEL.NAME = "FOLLOWER"
+    cfg.MODEL.FOLLOWER.WORD_EMB_SIZE = 32
+    cfg.MODEL.FOLLOWER.HIDDEN_SIZE = 64
+    cfg.DATA.MAX_ENC_LEN = 24
+    cfg.AGENT.MAX_EPISODE_LEN = 6
+    cfg.AGENT.FEEDBACK = "teacher"
+    cfg.TRAIN.OPTIM = "adam"
+    cfg.TRAIN.LR = 1e-3
+    cfg.TRAIN.BATCH_SIZE = 6
+    cfg.TRAIN.MAX_EPOCH = 2
+    cfg.TRAIN.EVAL_INTERVAL = 5
+    cfg.OUTPUT.CKPT_DIR = str(tmp_path / "ckpt")
+
+    trainer = AutoCurriculum(eta=0.2, eps=0.1, seed=0)
+    params, _, _ = trainer.train(cfg, build_agent(cfg, tokenizer.vocab_size(), 64),
+                                 None, train_env, valid_env, seed=0,
+                                 max_iters_override=6)
+    assert trainer.bandit is not None
+    # every reward from epoch 1+2 consumed (arms list drained)
+    assert trainer._arms == []
+    # bandit history populated by loss-decrease rewards
+    assert len(trainer.bandit.history) > 0
+    assert all(np.all(np.isfinite(np.asarray(x)))
+               for x in jax.tree_util.tree_leaves(params))

@@ -419,6 +419,29 @@ def vlnbert_apply(
 # Torch/HF checkpoint conversion
 # ---------------------------------------------------------------------------
 
+def vlnbert_from_pretrained(path_or_url: str, cfg: VilBertConfig, key=None,
+                            cache_dir: str = None) -> dict:
+    """Reference ``from_pretrained`` analog (ref: vilbert.py:1049-1254):
+    resolve through the cache layer (local path / file:// / http(s) / s3),
+    load the torch state_dict (or an .npz of arrays), and overlay it on a
+    fresh parameter tree via convert_torch_state_dict."""
+    from .file_utils import cached_path
+
+    resolved = cached_path(path_or_url, cache_dir)
+    if resolved.endswith(".npz"):
+        with np.load(resolved) as z:
+            state_dict = {k: z[k] for k in z.files}
+    else:
+        import torch
+
+        sd = torch.load(resolved, map_location="cpu", weights_only=True)
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+        state_dict = {k: v.numpy() for k, v in sd.items()}
+    params = vlnbert_init(key if key is not None else jax.random.PRNGKey(0), cfg)
+    return convert_torch_state_dict(state_dict, cfg, params)
+
+
 _LAYER_MAP = {
     "attention.self.query": ("attn", "query"),
     "attention.self.key": ("attn", "key"),

@@ -72,14 +72,24 @@ def self_train(cfg, agent, speaker: Speaker, train_env, aug_env, tables,
                iters_per_epoch: Optional[int] = None):
     """Speaker pretraining then alternating real/back-translated EnvDrop
     training.  ``aug_env`` supplies the augmentation episodes whose
-    instructions are replaced by speaker generations."""
+    instructions are replaced by speaker generations.  Runs data-parallel
+    over the production mesh like the main trainers (batches sharded,
+    params/tables replicated)."""
+    from ..parallel import mesh as M
+    from .trainer import setup_mesh
+
     rng = jax.random.PRNGKey(seed)
     rng, r_spk, r_agent = jax.random.split(rng, 3)
 
+    mesh = setup_mesh(cfg, cfg.TRAIN.BATCH_SIZE, train_env, aug_env)
+    tables = M.replicate(tables, mesh)
+
     spk_params, spk_opt, _ = pretrain_speaker(cfg, speaker, tables, train_env,
                                               r_spk, speaker_iters)
+    spk_params = M.replicate(spk_params, mesh)
 
     params, model_state = agent.init(r_agent)
+    params = M.replicate(params, mesh)
     optimizer = make_optimizer(cfg.TRAIN.OPTIM, cfg.TRAIN.LR)
     opt_state = optimizer.init(params)
     real_step = build_train_step(agent, optimizer, "sample")

@@ -64,6 +64,24 @@ def main(args, cfg):
         engine.check_the_code(cfg, world.device_tables(cfg.TPU.PRECISION), valid_env)
         return
 
+    if args.self_train:
+        # speaker-augmented back-translation stage (the reference carries
+        # the plumbing but no driver; SURVEY §2 "latent plumbing")
+        from curriculum_learning_for_vln_tpu.agents.speaker import Speaker
+
+        assert cfg.MODEL.NAME == "ENVDROP", "back-translation is an EnvDrop stage"
+        agent = build_agent(cfg, tok.vocab_size(), feat_dim, vocab=tok.vocab)
+        speaker = Speaker(cfg.AIDE.SPEAKER, tok.vocab_size(), feat_dim=feat_dim,
+                          episode_len=cfg.AGENT.MAX_EPISODE_LEN)
+        aug_env = train_env if not isinstance(train_env, dict) else train_env["round_5"]
+        base_env = aug_env
+        engine.self_train(cfg, agent, speaker, base_env, aug_env,
+                          world.device_tables(cfg.TPU.PRECISION), seed=args.seed,
+                          epochs=cfg.TRAIN.MAX_EPOCH,
+                          iters_per_epoch=cfg.TRAIN.ITER_PER_EPOCH)
+        logger.info("[5] Self-training finished")
+        return
+
     try:
         agent = build_agent(cfg, tok.vocab_size(), feat_dim, vocab=tok.vocab)
         if cfg.DATA.NAME == "CLR2R" and cfg.TRAIN.CLMODE == "NAIVE":
@@ -123,6 +141,8 @@ if __name__ == "__main__":
     parser.add_argument("--seed", default=2020, type=int, help="random seed")
     parser.add_argument("--check-the-code", action="store_true",
                         help="run the teacher-following sanity check and exit")
+    parser.add_argument("--self-train", action="store_true",
+                        help="speaker-augmented back-translation training stage")
     parser.add_argument("opts", help="config overrides: KEY VALUE [KEY VALUE ...]",
                         default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args()

@@ -98,14 +98,6 @@ class AutoCurriculum(ClassicTrainer):
         return cls(eta=ac.ETA or 0.1, eps=ac.EPS or 0.05, alpha=ac.ALPHA or 0.001,
                    beta=ac.BETA or 0.2, rrsize=ac.RRSIZE or 100, seed=seed)
 
-    def select_env(self, train_env, ep: int):
-        # epoch-level env is just the dict; iter_env picks per iteration
-        assert isinstance(train_env, dict), "AutoCurriculum needs per-round envs"
-        if self.bandit is None:
-            self._round_keys = sorted(train_env.keys())
-            self.bandit = Exp3S(len(self._round_keys), **self._cfg)
-        return train_env
-
     def iter_env(self, epoch_env, train_env):
         arm = self.bandit.sample()
         self._arms.append(arm)
@@ -120,3 +112,42 @@ class AutoCurriculum(ClassicTrainer):
                 self.bandit.update(arm, prev - loss)  # loss decrease = progress
             self._last_loss[arm] = loss
         self._arms = self._arms[len(losses):]
+
+    # -- checkpoint integration (ClassicTrainer hooks) ----------------------
+    def curriculum_state(self):
+        if self.bandit is None:
+            return None
+        return {
+            "kind": "exp3s",
+            "log_w": np.asarray(self.bandit.log_w),
+            "history": np.asarray(self.bandit.history),
+            "last_loss": dict(self._last_loss),
+        }
+
+    def load_curriculum_state(self, state) -> None:
+        if state is None or str(state.get("kind")) != "exp3s":
+            return
+        self._restore = state
+        if self.bandit is not None:  # select_env may have built it already
+            self._apply_restore()
+
+    def _apply_restore(self) -> None:
+        restore = getattr(self, "_restore", None)
+        if restore is None:
+            return
+        self.bandit.log_w = np.asarray(restore["log_w"]).copy()
+        self.bandit.history.clear()
+        for r in np.asarray(restore["history"]).tolist():
+            self.bandit.history.append(float(r))
+        self._last_loss = {int(k): float(v)
+                           for k, v in dict(restore["last_loss"]).items()}
+        self._restore = None
+
+    def select_env(self, train_env, ep: int):
+        # epoch-level env is just the dict; iter_env picks per iteration
+        assert isinstance(train_env, dict), "AutoCurriculum needs per-round envs"
+        if self.bandit is None:
+            self._round_keys = sorted(train_env.keys())
+            self.bandit = Exp3S(len(self._round_keys), **self._cfg)
+            self._apply_restore()
+        return train_env

@@ -133,6 +133,16 @@ class ClassicTrainer:
         """Post-epoch hook receiving the per-iteration losses in draw
         order (bandit reward feedback; syncs stay batched per epoch)."""
 
+    def curriculum_state(self):
+        """Curriculum state to embed in checkpoints (None = stateless).
+        SPCL overrides in its own trainer; AutoCurriculum persists the
+        bandit here — the reference loses all curriculum state on resume
+        (SURVEY §5 gap)."""
+        return None
+
+    def load_curriculum_state(self, state) -> None:
+        pass
+
     def train(self, cfg, agent, tsboard_dir, train_env, valid_env,
               eval_train: bool = False, eval_train_env: Optional[Dict] = None,
               seed: int = 2020, max_iters_override: Optional[int] = None):
@@ -175,6 +185,8 @@ class ClassicTrainer:
                 model_state = M.replicate(bundle["model_state"], mesh)
             if bundle.get("rng") is not None:
                 rng = jax.numpy.asarray(bundle["rng"])
+            if bundle.get("curriculum") is not None:
+                self.load_curriculum_state(bundle["curriculum"])
             start_epoch = bundle.get("epoch", 0) + 1
 
         scan_iters = getattr(cfg.TPU, "SCAN_ITERS", 1) if hasattr(cfg, "TPU") else 1
@@ -311,12 +323,15 @@ class ClassicTrainer:
                     prettyprint(summary)
 
             if is_main:
+                cur_state = self.curriculum_state()
                 clean_dir(output_ckpt_dir, clean_key="latest_ep")
                 save_checkpoint(osp.join(output_ckpt_dir, f"latest_ep{ep}.ckpt"),
-                                params, opt_state, model_state, rng, ep, cfg_yaml=cfg.dump())
+                                params, opt_state, model_state, rng, ep,
+                                curriculum=cur_state, cfg_yaml=cfg.dump())
                 # stable "latest" for OUTPUT.RESUME=latest
                 save_checkpoint(osp.join(ckpt_root, "latest.ckpt"),
-                                params, opt_state, model_state, rng, ep, cfg_yaml=cfg.dump())
+                                params, opt_state, model_state, rng, ep,
+                                curriculum=cur_state, cfg_yaml=cfg.dump())
             last_time = time.time()
 
         writer.close()

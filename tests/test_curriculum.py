@@ -197,3 +197,54 @@ def test_auto_curriculum_trains(synth_world, synth_dataset, tokenizer, tmp_path)
     assert len(trainer.bandit.history) > 0
     assert all(np.all(np.isfinite(np.asarray(x)))
                for x in jax.tree_util.tree_leaves(params))
+
+
+def test_auto_curriculum_resume_restores_bandit(synth_world, synth_dataset, tokenizer, tmp_path):
+    """AutoCurriculum bandit state (weights, reward history, per-arm loss)
+    rides the checkpoint and survives OUTPUT.RESUME=latest."""
+    from curriculum_learning_for_vln_tpu.agents import build_agent
+    from curriculum_learning_for_vln_tpu.engine import AutoCurriculum
+    from curriculum_learning_for_vln_tpu.env.host_env import R2RBatchEnv
+    from curriculum_learning_for_vln_tpu.data.datasets import expand_r2r_items
+    from curriculum_learning_for_vln_tpu.utils.config import get_cfg_defaults
+
+    data = expand_r2r_items(synth_dataset, tokenizer)
+    per = max(1, len(data) // 5)
+    mk_envs = lambda: ({
+        f"round_{k}": R2RBatchEnv(synth_world, data[(k - 1) * per: k * per + 6],
+                                  batch_size=6, tokenizer=tokenizer, seed=k)
+        for k in range(1, 6)
+    }, {"val_seen": R2RBatchEnv(synth_world, data[:18], batch_size=6,
+                                tokenizer=tokenizer, seed=9)})
+
+    cfg = get_cfg_defaults()
+    cfg.MODEL.NAME = "FOLLOWER"
+    cfg.MODEL.FOLLOWER.WORD_EMB_SIZE = 32
+    cfg.MODEL.FOLLOWER.HIDDEN_SIZE = 64
+    cfg.DATA.MAX_ENC_LEN = 24
+    cfg.AGENT.MAX_EPISODE_LEN = 6
+    cfg.AGENT.FEEDBACK = "teacher"
+    cfg.TRAIN.OPTIM = "adam"
+    cfg.TRAIN.LR = 1e-3
+    cfg.TRAIN.BATCH_SIZE = 6
+    cfg.TRAIN.MAX_EPOCH = 2
+    cfg.TRAIN.EVAL_INTERVAL = 10
+    cfg.OUTPUT.CKPT_DIR = str(tmp_path / "ckpt")
+
+    t1 = AutoCurriculum(eta=0.2, eps=0.1, seed=0)
+    train_env, valid_env = mk_envs()
+    t1.train(cfg, build_agent(cfg, tokenizer.vocab_size(), 64), None,
+             train_env, valid_env, seed=0, max_iters_override=6)
+    saved_w = np.asarray(t1.bandit.log_w).copy()
+    saved_hist = len(t1.bandit.history)
+    assert saved_hist > 0
+
+    cfg2 = cfg.clone()
+    cfg2.TRAIN.MAX_EPOCH = 3
+    cfg2.OUTPUT.RESUME = "latest"
+    t2 = AutoCurriculum(eta=0.2, eps=0.1, seed=0)
+    train_env2, valid_env2 = mk_envs()
+    t2.train(cfg2, build_agent(cfg2, tokenizer.vocab_size(), 64), None,
+             train_env2, valid_env2, seed=0, max_iters_override=6)
+    # the resumed run continued FROM the saved bandit (history grew past it)
+    assert len(t2.bandit.history) > saved_hist

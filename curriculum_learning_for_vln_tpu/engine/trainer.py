@@ -219,44 +219,54 @@ class ClassicTrainer:
 
         start_time = last_time = time.time()
         iters = max_iters_override or train_cfg.ITER_PER_EPOCH
+        profile_dir = getattr(cfg.TPU, "PROFILE_DIR", "") if hasattr(cfg, "TPU") else ""
 
         for ep in range(start_epoch, train_cfg.MAX_EPOCH + 1):
+            if profile_dir and ep == start_epoch + 1 and is_main:
+                # trace the second epoch (first epoch carries compilation)
+                from ..utils.profiling import trace as profiler_trace
+                profile_ctx = profiler_trace(profile_dir)
+                logger.info("Capturing jax.profiler trace of epoch %d -> %s", ep, profile_dir)
+            else:
+                import contextlib
+                profile_ctx = contextlib.nullcontext()
             epoch_env = self.select_env(train_env, ep)
             # keep per-iteration logs on device; a float() per iteration
             # would force a device sync each step and serialize the loop.
             # Entries stay in draw order (single logs or stacked [K] scan
             # logs) so curriculum hooks can align rewards to iterations.
             log_entries = []
-            it = 0
-            while it < iters:
-                if scan_iters > 1 and iters - it >= scan_iters:
-                    raw, il_lens = [], []
-                    for _ in range(scan_iters):
+            with profile_ctx:
+                it = 0
+                while it < iters:
+                    if scan_iters > 1 and iters - it >= scan_iters:
+                        raw, il_lens = [], []
+                        for _ in range(scan_iters):
+                            env_i = self.iter_env(epoch_env, train_env)
+                            raw.append(env_i.next_batch())
+                            il_lens.append(il_bucket(env_i))
+                        batches = M.shard_stacked_batch(stack_batches(raw), mesh)
+                        # one static IL length for the fused K iterations
+                        il_len = None if None in il_lens else max(il_lens)
+                        rng, rng_it = jax.random.split(rng)
+                        rngs = jax.random.split(rng_it, scan_iters)
+                        params, opt_state, model_state, slogs = scan_step(
+                            tables, params, opt_state, model_state, batches, rngs,
+                            il_len=il_len)
+                        log_entries.append({k: v for k, v in slogs.items() if k != "loss_per_sample"})
+                        it += scan_iters
+                    else:
                         env_i = self.iter_env(epoch_env, train_env)
-                        raw.append(env_i.next_batch())
-                        il_lens.append(il_bucket(env_i))
-                    batches = M.shard_stacked_batch(stack_batches(raw), mesh)
-                    # one static IL length for the fused K iterations
-                    il_len = None if None in il_lens else max(il_lens)
-                    rng, rng_it = jax.random.split(rng)
-                    rngs = jax.random.split(rng_it, scan_iters)
-                    params, opt_state, model_state, slogs = scan_step(
-                        tables, params, opt_state, model_state, batches, rngs,
-                        il_len=il_len)
-                    log_entries.append({k: v for k, v in slogs.items() if k != "loss_per_sample"})
-                    it += scan_iters
-                else:
-                    env_i = self.iter_env(epoch_env, train_env)
-                    batch = env_i.next_batch()
-                    il_len = il_bucket(env_i)
-                    rng, rng_it = jax.random.split(rng)
-                    params, opt_state, model_state, logs = train_step(
-                        tables, params, opt_state, model_state, batch, rng_it,
-                        il_len=il_len
-                    )
-                    log_entries.append({k: v for k, v in logs.items() if k != "loss_per_sample"})
-                    it += 1
-            host_entries = jax.device_get(log_entries)
+                        batch = env_i.next_batch()
+                        il_len = il_bucket(env_i)
+                        rng, rng_it = jax.random.split(rng)
+                        params, opt_state, model_state, logs = train_step(
+                            tables, params, opt_state, model_state, batch, rng_it,
+                            il_len=il_len
+                        )
+                        log_entries.append({k: v for k, v in logs.items() if k != "loss_per_sample"})
+                        it += 1
+                host_entries = jax.device_get(log_entries)
             epoch_losses = []
             extra_logs = {"entropy": 0.0, "critic_loss": 0.0, "total_actions": 0.0, "progress_loss": 0.0}
             for entry in host_entries:

@@ -81,3 +81,40 @@ def test_format_score_table():
         "oracle_rate": 0.6, "spl": 0.47, "ndtw": 0.55, "sdtw": 0.42, "cls": 0.5,
     }})
     assert "val_seen" in table and "0.5100" in table and "SR" in table
+
+
+def test_trainer_profile_dir_captures_trace(synth_world, synth_dataset, tokenizer, tmp_path):
+    """TPU.PROFILE_DIR wraps epoch 2 in a jax.profiler trace via the
+    production trainer."""
+    import os
+
+    from curriculum_learning_for_vln_tpu.agents import build_agent
+    from curriculum_learning_for_vln_tpu.data.datasets import expand_r2r_items
+    from curriculum_learning_for_vln_tpu.engine import ClassicTrainer
+    from curriculum_learning_for_vln_tpu.env.host_env import R2RBatchEnv
+    from curriculum_learning_for_vln_tpu.utils.config import get_cfg_defaults
+
+    data = expand_r2r_items(synth_dataset, tokenizer)
+    train = R2RBatchEnv(synth_world, data, batch_size=6, tokenizer=tokenizer, seed=1)
+    valid = {"val_seen": R2RBatchEnv(synth_world, data[:18], batch_size=6,
+                                     tokenizer=tokenizer, seed=2)}
+    cfg = get_cfg_defaults()
+    cfg.MODEL.NAME = "FOLLOWER"
+    cfg.MODEL.FOLLOWER.WORD_EMB_SIZE = 32
+    cfg.MODEL.FOLLOWER.HIDDEN_SIZE = 64
+    cfg.DATA.MAX_ENC_LEN = 24
+    cfg.AGENT.MAX_EPISODE_LEN = 6
+    cfg.AGENT.FEEDBACK = "teacher"
+    cfg.TRAIN.OPTIM = "sgd"
+    cfg.TRAIN.BATCH_SIZE = 6
+    cfg.TRAIN.MAX_EPOCH = 2
+    cfg.TRAIN.EVAL_INTERVAL = 5
+    cfg.OUTPUT.CKPT_DIR = str(tmp_path / "ckpt")
+    cfg.TPU.PROFILE_DIR = str(tmp_path / "trace")
+
+    ClassicTrainer().train(cfg, build_agent(cfg, tokenizer.vocab_size(), 64),
+                           None, train, valid, seed=0, max_iters_override=2)
+    found = []
+    for root, _, files in os.walk(cfg.TPU.PROFILE_DIR):
+        found += [f for f in files if f.endswith((".trace.json.gz", ".xplane.pb"))]
+    assert found, "no profiler trace artifacts written"

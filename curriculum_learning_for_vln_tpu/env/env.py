@@ -105,6 +105,12 @@ def observe(world: WorldTables, state: EnvState, compute_dtype=jnp.float32) -> O
     elev = world.cand_elev[node]
     angle = make_angle_feat(rel_h, elev).astype(compute_dtype)    # [B, MC, 128]
 
+    # NOTE: slicing candidates out of the gathered pano costs an 18.9 MB
+    # layout copy per step (copy.248 in the v5e trace, ~4% of the train
+    # iteration) — but the "obvious" fix, a direct [B,MC]-pair gather from
+    # the features table, measured 2x WORSE end to end (36.9 vs 18.0
+    # ms/iter: compound-index gathers lower to slow row-scatter on TPU).
+    # Keep the take_along_axis form.
     cand_img = jnp.take_along_axis(feats, c_view[:, :, None], axis=1)  # [B, MC, D]
     cand_core = jnp.concatenate([cand_img, angle], axis=-1)
     cand_core = jnp.where(c_valid[:, :, None], cand_core, 0.0)

@@ -27,6 +27,15 @@ case "${1:-help}" in
   follower-spcl)
     python main.py --config-file configs/follower/follower_cl_config.yaml --seed $SEED \
       TRAIN.CLMODE SELF-PACE "${@:2}" ;;
+  envdrop-auto-cl)
+    # Exp3.S automated curriculum (the reference reserves TRAIN.AUTO_CULM
+    # but never implements it)
+    python main.py --config-file configs/envdrop/envdrop_cl_config.yaml --seed $SEED \
+      TRAIN.CLMODE AUTO "${@:2}" ;;
+  self-train)
+    # speaker-augmented back-translation stage
+    python main.py --config-file configs/envdrop/envdrop_config.yaml --seed $SEED \
+      --self-train "${@:2}" ;;
   check)
     python main.py --config-file configs/envdrop/envdrop_config.yaml --check-the-code \
       TPU.SYNTHETIC_WORLD True "${@:2}" ;;
@@ -36,5 +45,5 @@ case "${1:-help}" in
       TPU.SYNTHETIC_WORLD True TRAIN.MAX_EPOCH 3 TRAIN.ITER_PER_EPOCH 10 \
       TRAIN.BATCH_SIZE 16 TRAIN.EVAL_INTERVAL 3 AGENT.MAX_EPISODE_LEN 10 "${@:2}" ;;
   *)
-    echo "usage: $0 {follower|monitor|envdrop|envdrop-naive-cl|envdrop-spcl|monitor-spcl|follower-spcl|check|smoke} [KEY VALUE ...]" ;;
+    echo "usage: $0 {follower|monitor|envdrop|envdrop-naive-cl|envdrop-spcl|envdrop-auto-cl|monitor-spcl|follower-spcl|self-train|check|smoke} [KEY VALUE ...]" ;;
 esac

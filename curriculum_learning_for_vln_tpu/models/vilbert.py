@@ -70,6 +70,37 @@ class VilBertConfig:
         assert max(self.v_biattention_id) < self.v_num_hidden_layers
         assert max(self.t_biattention_id) < self.num_hidden_layers
 
+    # -- (de)serialization, reference BertConfig contract
+    # (ref: vilbert.py:129-272 from_dict/from_json_file/to_dict/to_json_string)
+    @classmethod
+    def from_dict(cls, json_object: dict) -> "VilBertConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {}
+        for k, v in json_object.items():
+            if k in known:
+                if k in ("v_biattention_id", "t_biattention_id"):
+                    v = tuple(v)
+                kwargs[k] = v
+        return cls(**kwargs)
+
+    @classmethod
+    def from_json_file(cls, json_file: str) -> "VilBertConfig":
+        import json
+
+        with open(json_file, encoding="utf-8") as f:
+            return cls.from_dict(json.loads(f.read()))
+
+    def to_dict(self) -> dict:
+        d = dataclasses.asdict(self)
+        d["v_biattention_id"] = list(d["v_biattention_id"])
+        d["t_biattention_id"] = list(d["t_biattention_id"])
+        return d
+
+    def to_json_string(self) -> str:
+        import json
+
+        return json.dumps(self.to_dict(), indent=2, sort_keys=True) + "\n"
+
 
 def _normal_init(key, shape, std):
     return jax.random.normal(key, shape) * std

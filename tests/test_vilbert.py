@@ -116,3 +116,19 @@ def test_path_scorer_inputs(synth_world):
     assert np.all(locs[:4, 11] == [0, 1, 2, 3])
     # orientation slots are unit-circle pairs
     assert np.allclose(locs[0, 5] ** 2 + locs[0, 6] ** 2, 1.0, atol=1e-5)
+
+
+def test_config_json_roundtrip(tmp_path):
+    """VilBertConfig from_dict/from_json_file/to_dict/to_json_string parity
+    with the reference BertConfig contract (vilbert.py:129-272), including
+    unknown-key tolerance (HF config.json files carry extras)."""
+    cfg = tiny_cfg()
+    d = cfg.to_dict()
+    assert d["v_biattention_id"] == list(cfg.v_biattention_id)
+    cfg2 = VilBertConfig.from_dict({**d, "unknown_hf_key": 123})
+    assert cfg2 == cfg
+
+    p = tmp_path / "config.json"
+    p.write_text(cfg.to_json_string())
+    cfg3 = VilBertConfig.from_json_file(str(p))
+    assert cfg3 == cfg

@@ -140,6 +140,23 @@ def test_scanned_weighted_step_matches_sequential(synth_world, synth_dataset, to
     for a, b in zip(jax.tree_util.tree_leaves(p_seq), jax.tree_util.tree_leaves(p_scan)):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
+    # weighted + bucketed (the SPCL SCAN_ITERS production combination):
+    # fused-K with a static IL length matches sequential bucketed steps
+    # (loss equality with the full-length scan is covered separately by
+    # test_il_bucketing_loss_identical, which sizes the bucket correctly)
+    il = 4
+    p_seq2, o_seq2 = copy(params), copy(opt_state)
+    seq_losses2 = []
+    for b, r, w in zip(batches, rngs, ws):
+        p_seq2, o_seq2, _, logs = seq(tables, p_seq2, o_seq2, mstate, b, r, w, il_len=il)
+        seq_losses2.append(float(logs["loss"]))
+    p_scan2, _, _, slogs2 = scan(
+        tables, copy(params), copy(opt_state), mstate, stack_batches(batches), rngs, ws,
+        il_len=il)
+    assert np.allclose(seq_losses2, np.asarray(slogs2["loss"]), atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_seq2), jax.tree_util.tree_leaves(p_scan2)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
 
 def test_pallas_backend_gradients_in_train_step(synth_world, synth_dataset, tokenizer):
     """TPU.USE_PALLAS path: the fused-LSTM backend (interpret mode off-TPU)

@@ -49,6 +49,8 @@ def build_agent(cfg, vocab_size: int, feat_dim: int = 2048, vocab=None):
         import jax.numpy as jnp
 
         agent.compute_dtype = jnp.bfloat16 if cfg.TPU.PRECISION == "bf16" else jnp.float32
+    if getattr(cfg, "TPU", None) is not None and hasattr(agent, "use_fused_bptt"):
+        agent.use_fused_bptt = bool(getattr(cfg.TPU, "FUSED_BPTT", True))
     return agent
 
 

@@ -52,6 +52,9 @@ class EnvDropAgent:
         self.feature_size = feat_dim + 128
         self.episode_len = episode_len
         self.compute_dtype = jnp.float32  # set bfloat16 on TPU for feature-path traffic
+        # hand-written rollout backward (ops/bptt.py); build_agent sets this
+        # from cfg.TPU.FUSED_BPTT
+        self.use_fused_bptt = False
 
     def init(self, key) -> Tuple[dict, dict]:
         k1, k2, k3 = jax.random.split(key, 3)
@@ -121,11 +124,23 @@ class EnvDropAgent:
             return logits, mc2, h1, jnp.zeros(B)
 
         # h_tilde initialized to the encoder's h (ref: envdrop.py:150)
-        result = C.rollout_scan(
-            world, ep, rng, (h0, c0, h0), model_step,
-            episode_len or self.episode_len, feedback,
-            avoid_cyclic=avoid_cyclic, compute_dtype=self.compute_dtype,
-        )
+        if train and self.use_fused_bptt:
+            # identical forward, hand-written backward (ops/bptt.py)
+            from ..ops.bptt import envdrop_rollout_bptt
+
+            result = envdrop_rollout_bptt(
+                params["decoder"], ctx, ctx_mask, h0, c0, world, ep, rng,
+                episode_len=episode_len or self.episode_len, feedback=feedback,
+                train=train, drop=drop, fdrop=fdrop,
+                angle_feat_size=self.angle_feat_size, avoid_cyclic=avoid_cyclic,
+                feat_mask=feat_mask, compute_dtype=self.compute_dtype,
+            )
+        else:
+            result = C.rollout_scan(
+                world, ep, rng, (h0, c0, h0), model_step,
+                episode_len or self.episode_len, feedback,
+                avoid_cyclic=avoid_cyclic, compute_dtype=self.compute_dtype,
+            )
         steps = result.steps
 
         ml_sum = C.ml_loss_sum(steps)

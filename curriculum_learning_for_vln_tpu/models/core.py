@@ -75,15 +75,30 @@ def _rbg_key(rng):
     return jax.random.wrap_key_data(jnp.concatenate([kd, kd], axis=-1), impl="rbg")
 
 
+def make_keep_mask(rng, shape, rate: float) -> jnp.ndarray:
+    """The boolean keep-mask behind ``dropout``, exposed so a hand-written
+    backward pass (ops/bptt.py) can regenerate the exact forward masks
+    from the same key instead of storing them as residuals."""
+    keep = 1.0 - rate
+    size = 1
+    for s in shape:
+        size *= s
+    if size >= _FAST_MASK_MIN_SIZE and jax.default_backend() == "tpu":
+        rng = _rbg_key(rng)
+    return jax.random.bernoulli(rng, keep, shape)
+
+
+def apply_keep_mask(x: jnp.ndarray, mask: jnp.ndarray, rate: float) -> jnp.ndarray:
+    """Inverted-dropout application (also its own transpose: the VJP of
+    this op wrt ``x`` is the same masked scale applied to the cotangent)."""
+    return jnp.where(mask, x / (1.0 - rate), 0.0).astype(x.dtype)
+
+
 def dropout(rng, x: jnp.ndarray, rate: float, deterministic: bool) -> jnp.ndarray:
     """Inverted dropout; identity when deterministic or rate == 0."""
     if deterministic or rate == 0.0:
         return x
-    keep = 1.0 - rate
-    if x.size >= _FAST_MASK_MIN_SIZE and jax.default_backend() == "tpu":
-        rng = _rbg_key(rng)
-    mask = jax.random.bernoulli(rng, keep, x.shape)
-    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+    return apply_keep_mask(x, make_keep_mask(rng, x.shape, rate), rate)
 
 
 def dropout_mask(rng, shape, rate: float) -> jnp.ndarray:

@@ -269,6 +269,7 @@ _C.TPU.SCAN_ITERS = 1                      # training iterations fused per dispa
 _C.TPU.COMPILATION_CACHE = ".jax_cache"    # persistent XLA compile cache dir ("" = off)
 _C.TPU.IL_BUCKETS = (8, 16)                # teacher-forced episode-length buckets (() = off)
 _C.TPU.PROFILE_DIR = ""                    # capture a jax.profiler trace of epoch 1 ("" = off)
+_C.TPU.FUSED_BPTT = True                   # hand-written rollout backward (ops/bptt.py)
 
 
 def get_cfg_defaults() -> CfgNode:

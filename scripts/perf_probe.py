@@ -79,7 +79,9 @@ def main():
     opt = make_optimizer("rms", 1e-4)
     opt_state = opt.init(params)
 
-    def make_iter(train_ml: bool, train_rl: bool, il_len):
+    def make_iter(train_ml: bool, train_rl: bool, il_len, fused: bool = False):
+        agent.use_fused_bptt = fused
+
         def train_iter(carry, rng):
             p, o = carry
 
@@ -122,8 +124,8 @@ def main():
             best = min(best, time.time() - t0)
         return best
 
-    def measure(name, train_ml, train_rl, il_len, n1=2, n2=8):
-        it = make_iter(train_ml, train_rl, il_len)
+    def measure(name, train_ml, train_rl, il_len, n1=2, n2=8, fused=False):
+        it = make_iter(train_ml, train_rl, il_len, fused=fused)
 
         def make_many(n):
             @jax.jit
@@ -141,11 +143,12 @@ def main():
         return per
 
     results = {}
-    results["full T35+T35"] = measure("full T35+T35", True, True, None)
     results["full IL8+RL35"] = measure("full IL8+RL35", True, True, IL_LEN)
-    results["il-only T35"] = measure("il-only T35", True, False, None)
+    results["full IL8+RL35 bptt"] = measure("full IL8+RL35 bptt", True, True, IL_LEN, fused=True)
     results["il-only T8"] = measure("il-only T8", True, False, IL_LEN)
+    results["il-only T8 bptt"] = measure("il-only T8 bptt", True, False, IL_LEN, fused=True)
     results["rl-only T35"] = measure("rl-only T35", False, True, None)
+    results["rl-only T35 bptt"] = measure("rl-only T35 bptt", False, True, None, fused=True)
     for k, v in results.items():
         print(f"{k}: {v*1000:.2f} ms")
 

@@ -121,9 +121,11 @@ def bench_device(world, henv, tok):
     if platform == "tpu":
         # mirror the production TPU.USE_PALLAS path (fused masked-LSTM
         # encoder kernel; measured 3.98 -> 3.38 ms rollout, 18.8 -> 16.2 ms
-        # train iteration on v5e)
-        from curriculum_learning_for_vln_tpu.ops import rnn
+        # train iteration on v5e) + the fused observation kernel
+        # (gather+dropout+attention+cand rows, ops/fused_obs.py)
+        from curriculum_learning_for_vln_tpu.ops import fused_obs, rnn
         rnn.set_backend("pallas")
+        fused_obs.set_backend("pallas")
     tables = world.device_tables("bf16" if on_accel else "f32")
 
     cfg = get_cfg_defaults()

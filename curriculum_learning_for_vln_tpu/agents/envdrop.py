@@ -21,8 +21,10 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..env import env as E2
 from ..env.env import EpisodeBatch
 from ..models import decoders as D
+from ..ops import fused_obs
 from ..models.encoder import encoder_apply, encoder_init
 from ..utils.angles import make_angle_feat
 from ..utils.tokenizer import PAD_IDX
@@ -106,9 +108,34 @@ class EnvDropAgent:
             img, ang = feat[..., : -self.angle_feat_size], feat[..., -self.angle_feat_size:]
             return jnp.concatenate([img * feat_mask, ang], axis=-1)
 
+        # fused observation path (ops/fused_obs.py): the Pallas kernel
+        # streams feature rows and emits (vis, cand rows) directly, so the
+        # decode below never touches obs.pano_feat/obs.cand_feat and XLA
+        # dead-code-eliminates the [B, 36, D] gather+concat entirely
+        use_fused_obs = (
+            not already_drop
+            and fused_obs.enabled_for(world.features, self.compute_dtype)
+        )
+
         def decode(mc, obs, state, rng_t):
             h, c, h_tilde = mc
             a_t_angle = make_angle_feat(state.heading, state.elevation)
+            if use_fused_obs:
+                tv = D.envdrop_visual_query(params["decoder"], h_tilde, rng_t,
+                                            train, drop)
+                vis, cand_img = fused_obs.pano_attend_cands(
+                    (fdrop, train), state.node, state.view_idx, obs.cand_view,
+                    world.features, world.loc_embed, tv,
+                    jax.random.fold_in(rng_t, 1),
+                )
+                cand = E2.assemble_cand_feat(cand_img, obs.cand_angle, obs.cand_valid)
+                cand = D.drop_feat_img(cand, jax.random.fold_in(rng_t, 2),
+                                       fdrop, train, self.angle_feat_size)
+                logits, (h1, c1), h_tilde_new = D.envdrop_decoder_from_vis(
+                    params["decoder"], a_t_angle, vis, cand, h_tilde, c,
+                    ctx, ctx_mask, rng_t, train, drop,
+                )
+                return logits, (h1, c1, h_tilde_new), h1
             pano, cand = obs.pano_feat, obs.cand_feat
             if already_drop:
                 pano, cand = apply_feat_mask(pano), apply_feat_mask(cand)

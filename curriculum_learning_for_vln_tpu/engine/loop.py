@@ -44,9 +44,11 @@ def configure_tpu_runtime(cfg) -> None:
         jax.config.update("jax_compilation_cache_dir", os.path.expanduser(cache_dir))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if tpu_cfg.USE_PALLAS and jax.default_backend() == "tpu":
-        from ..ops import rnn
+        from ..ops import fused_obs, rnn
 
         rnn.set_backend("pallas")
+        # fused observation kernel (gather+dropout+attention+cand rows)
+        fused_obs.set_backend("pallas")
 
 
 def make_optimizer(name: str, lr: float) -> optax.GradientTransformation:

@@ -21,7 +21,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from ..utils.angles import ANGLE_INC, make_angle_feat
+from ..utils.angles import ANGLE_INC, NUM_VIEWS, make_angle_feat
 from ..world.compiler import WorldTables
 
 IGNORE_ID = -1  # matches BasicR2RAgent.ignore_id (ref: base.py:92)
@@ -59,6 +59,12 @@ class Observation(NamedTuple):
     dist: jnp.ndarray        # [B] f32  geodesic distance to goal
     heading: jnp.ndarray     # [B] f32
     elevation: jnp.ndarray   # [B] f32
+    # candidate metadata for fused observation kernels (ops/fused_obs.py):
+    # agents that consume these instead of pano_feat/cand_feat let XLA
+    # dead-code-eliminate the [B, 36, D] gather entirely
+    cand_view: jnp.ndarray   # [B, MC] i32 view index of each candidate
+    cand_valid: jnp.ndarray  # [B, MC] bool
+    cand_angle: jnp.ndarray  # [B, MC, 128] heading-relative angle features
 
 
 def reset(world: WorldTables, ep: EpisodeBatch) -> EnvState:
@@ -77,6 +83,53 @@ def reset(world: WorldTables, ep: EpisodeBatch) -> EnvState:
     )
 
 
+def _cand_meta(world: WorldTables, state: EnvState, compute_dtype=jnp.float32):
+    """Candidate-slot metadata gathers shared by ``observe`` and the fused
+    Pallas observation path (ops/bptt.py): next nodes, validity, view ids,
+    counts, and the heading-relative candidate angle features
+    (common_env.py:281-296 semantics)."""
+    node = state.node
+    c_next = world.cand_next[node]         # [B, MC]
+    c_valid = world.cand_valid[node]
+    c_view = world.cand_view[node]
+    n = world.n_cands[node]                # [B]
+    base_heading = (state.view_idx % 12).astype(jnp.float32) * ANGLE_INC
+    rel_h = world.cand_heading[node] - base_heading[:, None]
+    elev = world.cand_elev[node]
+    angle = make_angle_feat(rel_h, elev).astype(compute_dtype)    # [B, MC, 128]
+    return c_next, c_valid, c_view, n, angle
+
+
+def observe_meta(world: WorldTables, state: EnvState, compute_dtype=jnp.float32):
+    """The non-feature part of ``observe``: everything a fused
+    gather+attention kernel does not produce itself.  Returns
+    (c_view, c_valid, n_cands, angle, cand_mask, teacher, dist)."""
+    node = state.node
+    c_next, c_valid, c_view, n, angle = _cand_meta(world, state, compute_dtype)
+    MC = c_view.shape[1]
+    slot = jnp.arange(MC + 1, dtype=jnp.int32)[None, :]
+    cand_mask = slot > n[:, None]
+    teacher_next = jnp.take_along_axis(world.next_hop[node], state.goal_local[:, None], axis=1)[:, 0]
+    match = (c_next == teacher_next[:, None]) & c_valid
+    teacher_move = jnp.argmax(match, axis=1).astype(jnp.int32)
+    stay = teacher_next == node
+    teacher = jnp.where(stay, n, teacher_move)
+    teacher = jnp.where(state.ended, IGNORE_ID, teacher)
+    dist = jnp.take_along_axis(world.dist[node], state.goal_local[:, None], axis=1)[:, 0]
+    return c_view, c_valid, n, angle, cand_mask, teacher, dist
+
+
+def assemble_cand_feat(cand_img, angle, c_valid):
+    """Candidate features from raw per-candidate view rows + angle feats,
+    exactly as ``observe`` builds them (zeroed invalid slots, zero STOP
+    slot appended)."""
+    cand_core = jnp.concatenate([cand_img, angle], axis=-1)
+    cand_core = jnp.where(c_valid[:, :, None], cand_core, 0.0)
+    B, MC, F = cand_core.shape
+    stop_slot = jnp.zeros((B, 1, F), dtype=cand_core.dtype)
+    return jnp.concatenate([cand_core, stop_slot], axis=1)
+
+
 def observe(world: WorldTables, state: EnvState, compute_dtype=jnp.float32) -> Observation:
     """Build the full observation with pure gathers.
 
@@ -91,19 +144,14 @@ def observe(world: WorldTables, state: EnvState, compute_dtype=jnp.float32) -> O
     * dist       = geodesic distance to goal (common_env.py:329)
     """
     node = state.node
-    feats = world.features[node].astype(compute_dtype)            # [B, 36, D]
+    # the stored table may be view-padded to 40 rows for the fused Pallas
+    # kernel's DMA alignment (world/compiler.py); XLA fuses this slice into
+    # the gather so only the 36 real rows are read
+    feats = world.features[node][:, :NUM_VIEWS].astype(compute_dtype)  # [B, 36, D]
     loc_emb = world.loc_embed[state.view_idx].astype(compute_dtype)  # [B, 36, 128]
     pano = jnp.concatenate([feats, loc_emb], axis=-1)
 
-    c_next = world.cand_next[node]         # [B, MC]
-    c_valid = world.cand_valid[node]
-    c_view = world.cand_view[node]
-    n = world.n_cands[node]                # [B]
-
-    base_heading = (state.view_idx % 12).astype(jnp.float32) * ANGLE_INC
-    rel_h = world.cand_heading[node] - base_heading[:, None]
-    elev = world.cand_elev[node]
-    angle = make_angle_feat(rel_h, elev).astype(compute_dtype)    # [B, MC, 128]
+    c_next, c_valid, c_view, n, angle = _cand_meta(world, state, compute_dtype)
 
     # NOTE: slicing candidates out of the gathered pano costs an 18.9 MB
     # layout copy per step (copy.248 in the v5e trace, ~4% of the train
@@ -112,11 +160,8 @@ def observe(world: WorldTables, state: EnvState, compute_dtype=jnp.float32) -> O
     # ms/iter: compound-index gathers lower to slow row-scatter on TPU).
     # Keep the take_along_axis form.
     cand_img = jnp.take_along_axis(feats, c_view[:, :, None], axis=1)  # [B, MC, D]
-    cand_core = jnp.concatenate([cand_img, angle], axis=-1)
-    cand_core = jnp.where(c_valid[:, :, None], cand_core, 0.0)
-    B, MC, F = cand_core.shape
-    stop_slot = jnp.zeros((B, 1, F), dtype=cand_core.dtype)       # STOP feature = 0 (base.py:151-153)
-    cand_feat = jnp.concatenate([cand_core, stop_slot], axis=1)   # [B, MC+1, F]
+    cand_feat = assemble_cand_feat(cand_img, angle, c_valid)      # [B, MC+1, F]
+    MC = c_view.shape[1]
 
     slot = jnp.arange(MC + 1, dtype=jnp.int32)[None, :]
     cand_mask = slot > n[:, None]                                  # mask j >= n_cands+1 (length2mask semantics)
@@ -139,6 +184,9 @@ def observe(world: WorldTables, state: EnvState, compute_dtype=jnp.float32) -> O
         dist=dist,
         heading=state.heading,
         elevation=state.elevation,
+        cand_view=c_view,
+        cand_valid=c_valid,
+        cand_angle=angle,
     )
 
 

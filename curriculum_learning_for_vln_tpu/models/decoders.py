@@ -161,6 +161,57 @@ def envdrop_decoder_init(
     }
 
 
+def envdrop_visual_query(p: dict, h_tilde_prev: jnp.ndarray, rng, train: bool,
+                         drop_rate: float = 0.5) -> jnp.ndarray:
+    """The visual-attention query tv = W_in . dropout(h_tilde_prev)
+    (fold_in index 3) — split out so a fused gather+attention kernel
+    (ops/fused_obs.py) can consume it directly."""
+    prev_h1_drop = dropout(jax.random.fold_in(rng, 3), h_tilde_prev, drop_rate,
+                           deterministic=not train)
+    return dense(p["visual_attn"]["linear_in"], prev_h1_drop)
+
+
+def envdrop_decoder_from_vis(
+    p: dict,
+    a_t_angle: jnp.ndarray,      # [B, 128]
+    visual_feat: jnp.ndarray,    # [B, F] attention-weighted panorama
+    cand_feat: jnp.ndarray,      # [B, K, F] (image dims already dropped)
+    h_tilde_prev: jnp.ndarray,
+    c: jnp.ndarray,
+    ctx: jnp.ndarray,
+    ctx_mask: Optional[jnp.ndarray],
+    rng,
+    train: bool,
+    drop_rate: float = 0.5,
+):
+    """The decoder step after visual attention: action embedding, LSTM,
+    text attention, candidate scoring.  Shared by the reference-shaped
+    ``envdrop_decoder_step`` and the fused-observation path (same fold_in
+    indices, so both produce identical dropout masks)."""
+    act_emb = dropout(jax.random.fold_in(rng, 0), jnp.tanh(dense(p["act_embed"], a_t_angle)),
+                      drop_rate, deterministic=not train)
+
+    concat_input = jnp.concatenate([act_emb, visual_feat], axis=-1)
+    # recurrent h input is h_tilde_prev (ref: policy.py:238)
+    h1, c1 = lstm_cell(p["lstm"], concat_input, h_tilde_prev, c)
+
+    h1_drop = dropout(jax.random.fold_in(rng, 4), h1, drop_rate, deterministic=not train)
+    h_tilde, alpha_c = soft_dot(p["text_attn"], h1_drop, ctx, ctx_mask)
+
+    h_tilde_drop = dropout(jax.random.fold_in(rng, 5), h_tilde, drop_rate, deterministic=not train)
+    logits = jnp.einsum("bkf,bf->bk", cand_feat, dense(p["cand_attn"], h_tilde_drop))
+
+    return logits, (h1, c1), h_tilde
+
+
+def drop_feat_img(feat: jnp.ndarray, rng, rate: float, train: bool,
+                  angle_feat_size: int = 128) -> jnp.ndarray:
+    """Environmental dropout on the image dims only (ref: policy.py:226-232)."""
+    img, ang = feat[..., :-angle_feat_size], feat[..., -angle_feat_size:]
+    img = dropout(rng, img, rate, deterministic=not train)
+    return jnp.concatenate([img, ang], axis=-1)
+
+
 def envdrop_decoder_step(
     p: dict,
     a_t_angle: jnp.ndarray,      # [B, 128] current-orientation angle feature
@@ -178,32 +229,19 @@ def envdrop_decoder_step(
     angle_feat_size: int = 128,
     already_dropfeat: bool = False,
 ):
-    act_emb = dropout(jax.random.fold_in(rng, 0), jnp.tanh(dense(p["act_embed"], a_t_angle)),
-                      drop_rate, deterministic=not train)
-
     if not already_dropfeat:
-        # environmental dropout on image dims only (ref: policy.py:226-232)
-        img, ang = pano_feat[..., :-angle_feat_size], pano_feat[..., -angle_feat_size:]
-        img = dropout(jax.random.fold_in(rng, 1), img, feat_drop_rate, deterministic=not train)
-        pano_feat = jnp.concatenate([img, ang], axis=-1)
-        cimg, cang = cand_feat[..., :-angle_feat_size], cand_feat[..., -angle_feat_size:]
-        cimg = dropout(jax.random.fold_in(rng, 2), cimg, feat_drop_rate, deterministic=not train)
-        cand_feat = jnp.concatenate([cimg, cang], axis=-1)
+        pano_feat = drop_feat_img(pano_feat, jax.random.fold_in(rng, 1),
+                                  feat_drop_rate, train, angle_feat_size)
+        cand_feat = drop_feat_img(cand_feat, jax.random.fold_in(rng, 2),
+                                  feat_drop_rate, train, angle_feat_size)
 
     prev_h1_drop = dropout(jax.random.fold_in(rng, 3), h_tilde_prev, drop_rate, deterministic=not train)
     visual_feat, alpha_v = soft_dot(p["visual_attn"], prev_h1_drop, pano_feat)
 
-    concat_input = jnp.concatenate([act_emb, visual_feat], axis=-1)
-    # recurrent h input is h_tilde_prev (ref: policy.py:238)
-    h1, c1 = lstm_cell(p["lstm"], concat_input, h_tilde_prev, c)
-
-    h1_drop = dropout(jax.random.fold_in(rng, 4), h1, drop_rate, deterministic=not train)
-    h_tilde, alpha_c = soft_dot(p["text_attn"], h1_drop, ctx, ctx_mask)
-
-    h_tilde_drop = dropout(jax.random.fold_in(rng, 5), h_tilde, drop_rate, deterministic=not train)
-    logits = jnp.einsum("bkf,bf->bk", cand_feat, dense(p["cand_attn"], h_tilde_drop))
-
-    return logits, (h1, c1), h_tilde
+    return envdrop_decoder_from_vis(
+        p, a_t_angle, visual_feat, cand_feat, h_tilde_prev, c,
+        ctx, ctx_mask, rng, train, drop_rate,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -28,12 +28,23 @@ This module differentiates the rollout by hand instead:
   [B, L, H] accumulator.
 
 Semantics being differentiated: ``envdrop_decoder_step``
-(models/decoders.py:164-206) inside ``rollout_scan``
+(models/decoders.py) inside ``rollout_scan``
 (agents/common.py:125-217), which itself mirrors the reference hot loop
 `tasks/R2R-judy/src/agent/envdrop.py:151-220` +
 `src/model/policy.py:208-246`.  Forward outputs are bit-identical to the
 unfused path and gradients match autodiff to numerical tolerance
 (tests/test_bptt.py).
+
+MEASURED OUTCOME (v5e, scripts/perf_probe.py, round 2): this rewrite is
+~5% SLOWER than XLA's own scan transpose (rl-only 14.17 vs 13.40
+ms/iter; full 18.73 vs 18.16) — XLA already fuses residual saves into
+the forward and keeps the bf16 dW accumulators cheap, while this
+backward re-gathers + re-drops the panorama (~30 MB/step) that XLA
+reads back as a 10 MB residual.  Kept as a tested alternative mode
+(TPU.FUSED_BPTT, default off); the production win on the same traffic
+came from the fused observation kernel instead (ops/fused_obs.py),
+which cuts the panorama chain in BOTH directions inside the standard
+autodiff path.
 """
 from __future__ import annotations
 

@@ -1,0 +1,136 @@
+"""Fused observation op: panorama gather + env-dropout + visual attention
++ candidate-row extraction, as one custom-VJP unit.
+
+Motivation (measured on v5e, scripts/perf_ablate.py + BASELINE.md): the
+panorama chain is the EnvDrop rollout's dominant per-step HBM traffic —
+XLA materializes the [B, 36, D] gather, the concat, the post-dropout
+copy, re-reads it in both attention einsums, saves it as a scan residual
+for the backward, and separately materializes the candidate
+take_along_axis.  ~63 us/step forward against an irreducible ~12 us.
+
+This op draws a custom-VJP boundary around exactly that chain:
+
+* forward — the Pallas kernel (ops/pallas/pano_fused.py) streams feature
+  rows HBM->VMEM once and emits only (vis [B, F], cand_img [B, MC, D]);
+* residuals — the attention weights [B, 36] and the integer indices;
+  nothing image-sized is saved;
+* backward — a second kernel re-streams the rows and emits d_tv (the
+  [B, F] query cotangent).  The feature tables carry no gradient, so the
+  cand_img cotangent is discarded by construction (its only upstream
+  dependency is the table).
+
+Dropout masks are regenerated from the same key in forward and backward
+(models.core.make_keep_mask), so nothing mask-sized is stored either.
+
+Backend dispatch mirrors ops.rnn: default "xla" runs the plain
+formulation (bit-identical to the unfused observe+decoder path);
+``set_backend("pallas")`` switches to the kernels — on real TPU
+compiled, elsewhere in interpret mode (tests).
+
+ref: the fused semantics are observe()'s panorama/candidate assembly
+(env/env.py) + EnvDrop's environmental dropout and visual SoftDot
+(tasks/R2R-judy/src/model/policy.py:226-235, units.py:100-118).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..models.core import dropout, make_keep_mask
+
+_BACKEND = "xla"
+
+
+def set_backend(name: str) -> None:
+    global _BACKEND
+    assert name in ("xla", "pallas"), name
+    _BACKEND = name
+
+
+def get_backend() -> str:
+    return _BACKEND
+
+
+def enabled_for(features, compute_dtype) -> bool:
+    """The Pallas path assumes the feature table is already stored in the
+    compute dtype (no per-row cast inside the kernel)."""
+    return _BACKEND == "pallas" and features.dtype == compute_dtype
+
+
+def _xla_impl(cfg, node, view, c_view, features, loc_embed, tv, key):
+    """Plain formulation — the exact ops of observe() + the decoder's
+    fold_in(rng, 1) panorama dropout, for parity and for the backward."""
+    fdrop, train = cfg
+    # the stored table may be view-padded for the kernel's DMA alignment
+    feats = features[node][:, :loc_embed.shape[1]]
+    loc = loc_embed[view]
+    img = dropout(key, feats, fdrop, deterministic=not train)
+    pano = jnp.concatenate([img, loc], axis=-1)
+    scores = jnp.einsum("blc,bc->bl", pano, tv)
+    alpha = jax.nn.softmax(scores, axis=-1)
+    vis = jnp.einsum("bl,blc->bc", alpha, pano)
+    cand_img = jnp.take_along_axis(feats, c_view[:, :, None], axis=1)
+    return vis, alpha, cand_img
+
+
+def _pallas(cfg, node, view, c_view, features, loc_embed, tv, key):
+    from .pallas.pano_fused import pano_attend_fwd_pallas
+
+    fdrop, train = cfg
+    D = features.shape[-1]
+    interpret = jax.default_backend() != "tpu"
+    mask = None
+    if train and fdrop > 0.0:
+        mask = make_keep_mask(key, node.shape + (36, D), fdrop)
+    oi, oa, alpha, cand = pano_attend_fwd_pallas(
+        node, view, c_view, features, loc_embed, tv[:, :D], tv[:, D:],
+        mask=mask, keep=1.0 - fdrop, interpret=interpret)
+    return jnp.concatenate([oi, oa], axis=-1), alpha, cand
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def pano_attend_cands(cfg, node, view, c_view, features, loc_embed, tv, key):
+    """(vis [B, F] f32, cand_img [B, MC, D]) for the current states.
+
+    ``cfg`` is (feat_drop_rate, train).  ``key`` is the decoder's
+    fold_in(rng, 1) panorama-dropout key.  Differentiable in ``tv`` only
+    (the tables are frozen world data)."""
+    impl = _pallas if _BACKEND == "pallas" else _xla_impl
+    vis, _alpha, cand = impl(cfg, node, view, c_view, features, loc_embed, tv, key)
+    return vis, cand
+
+
+def _fwd(cfg, node, view, c_view, features, loc_embed, tv, key):
+    impl = _pallas if _BACKEND == "pallas" else _xla_impl
+    vis, alpha, cand = impl(cfg, node, view, c_view, features, loc_embed, tv, key)
+    return (vis, cand), (node, view, c_view, features, loc_embed, alpha, tv, key)
+
+
+def _bwd(cfg, res, g):
+    node, view, c_view, features, loc_embed, alpha, tv, key = res
+    g_vis, _g_cand = g  # cand_img depends only on the gradient-free table
+    fdrop, train = cfg
+    D = features.shape[-1]
+    if _BACKEND == "pallas":
+        from .pallas.pano_fused import pano_attend_bwd_pallas
+
+        interpret = jax.default_backend() != "tpu"
+        mask = None
+        if train and fdrop > 0.0:
+            mask = make_keep_mask(key, node.shape + (36, D), fdrop)
+        di, da, _ = pano_attend_bwd_pallas(
+            node, view, c_view, features, loc_embed, alpha,
+            g_vis[:, :D], g_vis[:, D:], mask=mask, keep=1.0 - fdrop,
+            interpret=interpret)
+        d_tv = jnp.concatenate([di, da], axis=-1)
+    else:
+        _, vjp = jax.vjp(
+            lambda t: _xla_impl(cfg, node, view, c_view, features, loc_embed, t, key)[0],
+            tv)
+        (d_tv,) = vjp(g_vis)
+    return (None, None, None, None, None, d_tv, None)
+
+
+pano_attend_cands.defvjp(_fwd, _bwd)

@@ -269,7 +269,11 @@ _C.TPU.SCAN_ITERS = 1                      # training iterations fused per dispa
 _C.TPU.COMPILATION_CACHE = ".jax_cache"    # persistent XLA compile cache dir ("" = off)
 _C.TPU.IL_BUCKETS = (8, 16)                # teacher-forced episode-length buckets (() = off)
 _C.TPU.PROFILE_DIR = ""                    # capture a jax.profiler trace of epoch 1 ("" = off)
-_C.TPU.FUSED_BPTT = True                   # hand-written rollout backward (ops/bptt.py)
+# Hand-written rollout backward (ops/bptt.py).  Off by default: measured
+# ~5% SLOWER than XLA's scan transpose on v5e (18.7 vs 18.2 ms/iter) —
+# XLA's autodiff of this graph is already near its HBM bound; the win
+# came from the fused observation kernel instead (TPU.USE_PALLAS).
+_C.TPU.FUSED_BPTT = False
 
 
 def get_cfg_defaults() -> CfgNode:

@@ -129,6 +129,15 @@ class CompiledWorld:
         assert feats is not None, "CompiledWorld has no features attached"
         if precision == "bf16":
             feats = feats.astype(jnp.bfloat16)
+        # pad the view axis 36 -> 40 (next multiple of 8): the fused Pallas
+        # observation kernel DMAs per-node [V, D] slices out of HBM, and
+        # Mosaic requires the sliced sublane extent to be tile-aligned.
+        # XLA consumers slice back to :36 (fused into the gather, no cost);
+        # pad rows are zeros and masked out of the in-kernel softmax.
+        V = feats.shape[1]
+        Vp = ((V + 7) // 8) * 8
+        if Vp != V:
+            feats = np.pad(feats, ((0, 0), (0, Vp - V), (0, 0)))
         return WorldTables(
             pos=jnp.asarray(self.pos),
             node_scan=jnp.asarray(self.node_scan),

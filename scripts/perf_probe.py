@@ -79,8 +79,11 @@ def main():
     opt = make_optimizer("rms", 1e-4)
     opt_state = opt.init(params)
 
-    def make_iter(train_ml: bool, train_rl: bool, il_len, fused: bool = False):
+    def make_iter(train_ml: bool, train_rl: bool, il_len, fused: bool = False,
+                  fobs: bool = False):
         agent.use_fused_bptt = fused
+        from curriculum_learning_for_vln_tpu.ops import fused_obs
+        fused_obs.set_backend("pallas" if fobs else "xla")
 
         def train_iter(carry, rng):
             p, o = carry
@@ -124,8 +127,8 @@ def main():
             best = min(best, time.time() - t0)
         return best
 
-    def measure(name, train_ml, train_rl, il_len, n1=2, n2=8, fused=False):
-        it = make_iter(train_ml, train_rl, il_len, fused=fused)
+    def measure(name, train_ml, train_rl, il_len, n1=2, n2=8, fused=False, fobs=False):
+        it = make_iter(train_ml, train_rl, il_len, fused=fused, fobs=fobs)
 
         def make_many(n):
             @jax.jit
@@ -144,11 +147,11 @@ def main():
 
     results = {}
     results["full IL8+RL35"] = measure("full IL8+RL35", True, True, IL_LEN)
-    results["full IL8+RL35 bptt"] = measure("full IL8+RL35 bptt", True, True, IL_LEN, fused=True)
     results["il-only T8"] = measure("il-only T8", True, False, IL_LEN)
-    results["il-only T8 bptt"] = measure("il-only T8 bptt", True, False, IL_LEN, fused=True)
     results["rl-only T35"] = measure("rl-only T35", False, True, None)
-    results["rl-only T35 bptt"] = measure("rl-only T35 bptt", False, True, None, fused=True)
+    results["rl-only T35 fobs"] = measure("rl-only T35 fobs", False, True, None, fobs=True)
+    results["il-only T8 fobs"] = measure("il-only T8 fobs", True, False, IL_LEN, fobs=True)
+    results["full IL8+RL35 fobs"] = measure("full IL8+RL35 fobs", True, True, IL_LEN, fobs=True)
     for k, v in results.items():
         print(f"{k}: {v*1000:.2f} ms")
 

@@ -1,0 +1,132 @@
+"""Fused observation op (ops/fused_obs.py + ops/pallas/pano_fused.py):
+op-level parity vs the plain formulation, and agent-level loss/grad parity
+with the kernels active (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from curriculum_learning_for_vln_tpu.agents import (FEEDBACK_SAMPLE,
+                                                    FEEDBACK_TEACHER,
+                                                    EnvDropAgent)
+from curriculum_learning_for_vln_tpu.data.datasets import expand_r2r_items
+from curriculum_learning_for_vln_tpu.env.host_env import R2RBatchEnv
+from curriculum_learning_for_vln_tpu.ops import fused_obs
+from curriculum_learning_for_vln_tpu.utils.config import get_cfg_defaults
+
+FEAT_DIM = 64
+
+
+def make_agent(tok, episode_len=6):
+    cfg = get_cfg_defaults()
+    m = cfg.MODEL.ENVDROP
+    m.WORD_EMB_SIZE = 32
+    m.ACT_EMB_SIZE = 16
+    m.HIDDEN_SIZE = 64
+    m.ENC_BIDIRECTION = False
+    m.ENC_LAYERS = 1
+    m.ML_WEIGHT = 0.2
+    m.GAMMA = 0.9
+    m.RL_NORMALIZE = "total"
+    return EnvDropAgent(m, max_enc_len=24, vocab_size=tok.vocab_size(),
+                        feat_dim=FEAT_DIM, episode_len=episode_len)
+
+
+@pytest.fixture(scope="module")
+def ctx(synth_world, synth_dataset, tokenizer):
+    data = expand_r2r_items(synth_dataset, tokenizer)
+    henv = R2RBatchEnv(synth_world, data, batch_size=6, tokenizer=tokenizer, seed=11)
+    return synth_world.device_tables(), henv
+
+
+def test_op_pallas_matches_xla_impl(ctx):
+    """Direct op check: pallas (interpret) vs plain formulation, fwd + vjp."""
+    tables, henv = ctx
+    B, MC = 6, tables.cand_view.shape[1]
+    k = jax.random.split(jax.random.PRNGKey(0), 6)
+    node = jax.random.randint(k[0], (B,), 0, tables.features.shape[0])
+    view = jax.random.randint(k[1], (B,), 0, 36)
+    c_view = jax.random.randint(k[2], (B, MC), 0, 36)
+    tv = jax.random.normal(k[3], (B, FEAT_DIM + 128))
+    key = jax.random.PRNGKey(7)
+    cfg = (0.3, True)
+
+    def run(t):
+        return fused_obs.pano_attend_cands(cfg, node, view, c_view,
+                                           tables.features, tables.loc_embed,
+                                           t, key)
+
+    fused_obs.set_backend("xla")
+    try:
+        vis_x, cand_x = run(tv)
+        _, vjp_x = jax.vjp(lambda t: run(t)[0], tv)
+        (dtv_x,) = vjp_x(jnp.ones_like(vis_x))
+        fused_obs.set_backend("pallas")
+        vis_p, cand_p = run(tv)
+        _, vjp_p = jax.vjp(lambda t: run(t)[0], tv)
+        (dtv_p,) = vjp_p(jnp.ones_like(vis_p))
+    finally:
+        fused_obs.set_backend("xla")
+
+    np.testing.assert_allclose(np.asarray(vis_p), np.asarray(vis_x), rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(cand_p), np.asarray(cand_x))
+    np.testing.assert_allclose(np.asarray(dtv_p), np.asarray(dtv_x), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("feedback,train_rl", [
+    (FEEDBACK_TEACHER, False),
+    (FEEDBACK_SAMPLE, True),
+])
+def test_agent_parity_with_fused_obs(ctx, tokenizer, feedback, train_rl):
+    """Full EnvDrop rollout loss + grads with the fused-observation kernels
+    (interpret) match the standard path to tolerance."""
+    tables, henv = ctx
+    agent = make_agent(tokenizer)
+    params, _ = agent.init(jax.random.PRNGKey(1))
+    ep = henv.next_batch()
+    rng = jax.random.PRNGKey(4)
+    kw = dict(feedback=feedback, train_ml=not train_rl, train_rl=train_rl)
+
+    def loss_fn(p):
+        losses, _, _ = agent.rollout(p, {}, tables, ep, rng, train=True, **kw)
+        return agent.loss_fn(losses)
+
+    fused_obs.set_backend("xla")
+    v0, g0 = jax.value_and_grad(loss_fn)(params)
+    try:
+        fused_obs.set_backend("pallas")
+        v1, g1 = jax.value_and_grad(loss_fn)(params)
+    finally:
+        fused_obs.set_backend("xla")
+
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-5)
+    flat0 = jax.tree_util.tree_flatten_with_path(g0)[0]
+    flat1 = jax.tree_util.tree_leaves(g1)
+    for (kp, a), b in zip(flat0, flat1):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5,
+            err_msg=jax.tree_util.keystr(kp))
+
+
+def test_fused_obs_eval_rollout_matches(ctx, tokenizer):
+    """Argmax eval rollout trajectories are identical (no dropout — the
+    kernel and XLA agree to numerical tolerance; actions are discrete so
+    trajectories should match exactly on this world)."""
+    tables, henv = ctx
+    agent = make_agent(tokenizer)
+    params, _ = agent.init(jax.random.PRNGKey(2))
+    ep = henv.next_batch()
+    rng = jax.random.PRNGKey(5)
+
+    from curriculum_learning_for_vln_tpu.agents import FEEDBACK_ARGMAX
+    fused_obs.set_backend("xla")
+    _, r0, _ = agent.rollout(params, {}, tables, ep, rng, feedback=FEEDBACK_ARGMAX,
+                             train=False, train_ml=True, train_rl=False)
+    try:
+        fused_obs.set_backend("pallas")
+        _, r1, _ = agent.rollout(params, {}, tables, ep, rng, feedback=FEEDBACK_ARGMAX,
+                                 train=False, train_ml=True, train_rl=False)
+    finally:
+        fused_obs.set_backend("xla")
+    np.testing.assert_array_equal(np.asarray(r0.steps.action), np.asarray(r1.steps.action))
+    np.testing.assert_array_equal(np.asarray(r0.steps.node_after), np.asarray(r1.steps.node_after))

@@ -97,6 +97,14 @@ def _timed_fetch(fn, *args, reps: int = 3) -> float:
 
 def bench_device(world, henv, tok):
     import jax
+
+    # honor JAX_PLATFORMS=cpu despite the site hook that pre-registers the
+    # remote-TPU backend (same snippet as main.py; needed for CPU-mesh runs)
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     import jax.numpy as jnp
     import optax
 
@@ -125,7 +133,7 @@ def bench_device(world, henv, tok):
         # (gather+dropout+attention+cand rows, ops/fused_obs.py)
         from curriculum_learning_for_vln_tpu.ops import fused_obs, rnn
         rnn.set_backend("pallas")
-        fused_obs.set_backend("pallas")
+        fused_obs.set_backend("pallas_prng")
     tables = world.device_tables("bf16" if on_accel else "f32")
 
     cfg = get_cfg_defaults()
@@ -214,6 +222,20 @@ def bench_device(world, henv, tok):
                                                   jax.random.split(rng, n))
                     return losses[-1]
                 return many
+
+            # BENCH_MESH=N: run the same iteration data-parallel over an
+            # N-device mesh (the driver's single-chip run leaves this off;
+            # on a real v5e-8 pod set BENCH_MESH=8 for the DP number)
+            mesh_n = int(os.environ.get("BENCH_MESH", "0"))
+            if mesh_n > 1 and len(jax.devices()) >= mesh_n:
+                from curriculum_learning_for_vln_tpu.parallel import mesh as M
+
+                mesh = M.make_mesh(data=mesh_n)
+                ep = jax.device_put(ep, M.batch_sharding(mesh))
+                params = M.replicate(params, mesh)
+                opt_state = M.replicate(opt_state, mesh)
+                log(f"BENCH_MESH: data-parallel over {mesh_n} devices "
+                    f"(global batch {BATCH})")
 
             t_small = _timed_fetch(make_many_train(2), params, opt_state, jax.random.PRNGKey(2))
             t_big = _timed_fetch(make_many_train(8), params, opt_state, jax.random.PRNGKey(2))

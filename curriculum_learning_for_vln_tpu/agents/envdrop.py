@@ -188,14 +188,20 @@ class EnvDropAgent:
 
             T = steps.reward.shape[0]
             crit_rngs = jax.random.split(jax.random.fold_in(rng, 7), T)
+            # critic values for all steps as ONE batched matmul instead of
+            # 35 tiny per-step matmuls inside the reverse scan (same
+            # per-step dropout keys -> identical values; the scan below
+            # keeps only the elementwise return/advantage recurrence)
+            values = jax.vmap(
+                lambda h, r: D.critic_apply(params["critic"], h, r, train, drop)
+            )(steps.hidden[::-1], crit_rngs)
 
             def a2c_step(carry, xs):
                 discount = carry
-                reward, mask_b, hidden, log_prob, entropy, rng_c = xs
+                reward, mask_b, v_, log_prob, entropy = xs
                 mask = mask_b.astype(jnp.float32)
                 discount = discount * gamma + reward
                 r_ = jax.lax.stop_gradient(discount)
-                v_ = D.critic_apply(params["critic"], hidden, rng_c, train, drop)
                 a_ = jax.lax.stop_gradient(r_ - v_)
                 loss_vec = (-log_prob * a_ * mask) + 0.5 * ((r_ - v_) ** 2) * mask
                 if feedback == C.FEEDBACK_SAMPLE:
@@ -206,10 +212,9 @@ class EnvDropAgent:
             xs = (
                 steps.reward[::-1],
                 steps.alive_before[::-1],
-                steps.hidden[::-1],
+                values,
                 steps.log_prob[::-1],
                 steps.entropy[::-1],
-                crit_rngs,
             )
             _, (rl_vecs, critic_ls, mask_sums) = jax.lax.scan(a2c_step, not_ended * last_value, xs)
             rl_vec = jnp.sum(rl_vecs, axis=0)

@@ -35,6 +35,7 @@ def save_checkpoint(
     epoch: int = 0,
     curriculum: Any = None,
     cfg_yaml: Optional[str] = None,
+    backend: str = "pickle",
     **extra,
 ) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -48,6 +49,9 @@ def save_checkpoint(
         "cfg_yaml": cfg_yaml,
         "extra": _to_numpy(extra) if extra else {},
     }
+    if backend == "orbax":
+        _save_orbax(path, bundle)
+        return
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         pickle.dump(bundle, f, protocol=pickle.HIGHEST_PROTOCOL)
@@ -55,5 +59,68 @@ def save_checkpoint(
 
 
 def load_checkpoint(path: str) -> dict:
+    if os.path.isdir(path):
+        return _load_orbax(path)
     with open(path, "rb") as f:
         return pickle.load(f)
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend (TPU.CKPT_BACKEND = "orbax"): the array payload is written
+# through orbax-checkpoint (TensorStore-backed, multi-host-coordinated
+# writes), while the exact pytree structure — including optax NamedTuple
+# optimizer states — round-trips via a pickled treedef so ``load_checkpoint``
+# returns the same bundle either backend produced.  The checkpoint becomes a
+# *directory* at ``path``; loading auto-detects by isdir.
+# ---------------------------------------------------------------------------
+
+_ARRAY_KEYS = ("params", "opt_state", "model_state", "rng", "curriculum", "extra")
+
+
+def _save_orbax(path: str, bundle: dict) -> None:
+    import base64
+    import json
+    import shutil
+
+    import orbax.checkpoint as ocp
+
+    arrays = {k: bundle[k] for k in _ARRAY_KEYS}
+    leaves, treedef = jax.tree_util.tree_flatten(arrays)
+    payload = {f"leaf_{i:05d}": leaf for i, leaf in enumerate(leaves)}
+    meta = {
+        "epoch": bundle["epoch"],
+        "cfg_yaml": bundle["cfg_yaml"],
+        "treedef": base64.b64encode(pickle.dumps(treedef)).decode("ascii"),
+        "n_leaves": len(leaves),
+    }
+
+    path = os.path.abspath(path)
+    tmp = path + ".orbax_tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(tmp, payload)
+    with open(os.path.join(tmp, "bundle_meta.json"), "w") as f:
+        json.dump(meta, f)
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    elif os.path.exists(path):
+        os.remove(path)
+    os.replace(tmp, path)
+
+
+def _load_orbax(path: str) -> dict:
+    import base64
+    import json
+
+    import orbax.checkpoint as ocp
+
+    with open(os.path.join(path, "bundle_meta.json")) as f:
+        meta = json.load(f)
+    payload = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+    leaves = [payload[f"leaf_{i:05d}"] for i in range(meta["n_leaves"])]
+    treedef = pickle.loads(base64.b64decode(meta["treedef"]))
+    arrays = jax.tree_util.tree_unflatten(treedef, leaves)
+    arrays["epoch"] = meta["epoch"]
+    arrays["cfg_yaml"] = meta["cfg_yaml"]
+    return arrays

@@ -139,6 +139,7 @@ class SelfPacedCurriculum:
               eval_train: bool = False, eval_train_env: Optional[Dict] = None,
               seed: int = 2020, max_iters_override: Optional[int] = None):
         configure_tpu_runtime(cfg)
+        ckpt_backend = getattr(cfg.TPU, "CKPT_BACKEND", "pickle") if hasattr(cfg, "TPU") else "pickle"
         tables = train_env.world.device_tables(cfg.TPU.PRECISION if hasattr(cfg, "TPU") else "f32")
         train_cfg = cfg.TRAIN
 
@@ -271,7 +272,7 @@ class SelfPacedCurriculum:
                             path = osp.join(output_ckpt_dir, f"best_{key}_SR:{scores['success_rate']:.4f}.ckpt")
                             clean_dir(output_ckpt_dir, clean_key=f"best_{key}")
                             save_checkpoint(path, params, opt_state, model_state, rng, ep,
-                                            curriculum=self.state_dict(loss_for_item), cfg_yaml=cfg.dump())
+                                            curriculum=self.state_dict(loss_for_item), cfg_yaml=cfg.dump(), backend=ckpt_backend)
                 if is_main:
                     prettyprint(summary)
 
@@ -297,7 +298,7 @@ class SelfPacedCurriculum:
             if is_main:
                 save_checkpoint(osp.join(ckpt_root, "latest.ckpt"),
                                 params, opt_state, model_state, rng, ep,
-                                curriculum=self.state_dict(loss_for_item), cfg_yaml=cfg.dump())
+                                curriculum=self.state_dict(loss_for_item), cfg_yaml=cfg.dump(), backend=ckpt_backend)
             last_time = time.time()
 
         writer.close()

@@ -47,8 +47,10 @@ def configure_tpu_runtime(cfg) -> None:
         from ..ops import fused_obs, rnn
 
         rnn.set_backend("pallas")
-        # fused observation kernel (gather+dropout+attention+cand rows)
-        fused_obs.set_backend("pallas")
+        # fused observation kernel (gather+dropout+attention+cand rows);
+        # prng mode generates the env-dropout mask with the in-kernel
+        # hardware RNG (no mask in HBM at all)
+        fused_obs.set_backend("pallas_prng")
 
 
 def make_optimizer(name: str, lr: float) -> optax.GradientTransformation:

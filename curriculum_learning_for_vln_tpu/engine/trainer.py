@@ -147,6 +147,7 @@ class ClassicTrainer:
               eval_train: bool = False, eval_train_env: Optional[Dict] = None,
               seed: int = 2020, max_iters_override: Optional[int] = None):
         configure_tpu_runtime(cfg)
+        ckpt_backend = getattr(cfg.TPU, "CKPT_BACKEND", "pickle") if hasattr(cfg, "TPU") else "pickle"
         first_env = self.select_env(train_env, cfg.TRAIN.START_EPOCH)
         if isinstance(first_env, dict):  # per-iteration curricula keep the round dict
             first_env = next(iter(first_env.values()))
@@ -327,7 +328,7 @@ class ClassicTrainer:
                             path = osp.join(output_ckpt_dir, f"best_{key}_SR:{scores['success_rate']:.4f}.ckpt")
                             clean_dir(output_ckpt_dir, clean_key=f"best_{key}")
                             save_checkpoint(path, params, opt_state, model_state, rng, ep,
-                                            cfg_yaml=cfg.dump())
+                                            cfg_yaml=cfg.dump(), backend=ckpt_backend)
                             logger.info("Saved best %s SR=%.4f -> %s", key, scores["success_rate"], path)
                 if is_main:
                     prettyprint(summary)
@@ -337,11 +338,11 @@ class ClassicTrainer:
                 clean_dir(output_ckpt_dir, clean_key="latest_ep")
                 save_checkpoint(osp.join(output_ckpt_dir, f"latest_ep{ep}.ckpt"),
                                 params, opt_state, model_state, rng, ep,
-                                curriculum=cur_state, cfg_yaml=cfg.dump())
+                                curriculum=cur_state, cfg_yaml=cfg.dump(), backend=ckpt_backend)
                 # stable "latest" for OUTPUT.RESUME=latest
                 save_checkpoint(osp.join(ckpt_root, "latest.ckpt"),
                                 params, opt_state, model_state, rng, ep,
-                                curriculum=cur_state, cfg_yaml=cfg.dump())
+                                curriculum=cur_state, cfg_yaml=cfg.dump(), backend=ckpt_backend)
             last_time = time.time()
 
         writer.close()

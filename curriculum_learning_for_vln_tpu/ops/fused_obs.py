@@ -44,8 +44,11 @@ _BACKEND = "xla"
 
 
 def set_backend(name: str) -> None:
+    """"xla" | "pallas" (external mask, bit-identical to xla) |
+    "pallas_prng" (in-kernel hardware-PRNG mask — fastest; the mask
+    realization differs from the xla path but fwd/bwd stay consistent)."""
     global _BACKEND
-    assert name in ("xla", "pallas"), name
+    assert name in ("xla", "pallas", "pallas_prng"), name
     _BACKEND = name
 
 
@@ -56,7 +59,16 @@ def get_backend() -> str:
 def enabled_for(features, compute_dtype) -> bool:
     """The Pallas path assumes the feature table is already stored in the
     compute dtype (no per-row cast inside the kernel)."""
-    return _BACKEND == "pallas" and features.dtype == compute_dtype
+    return _BACKEND.startswith("pallas") and features.dtype == compute_dtype
+
+
+def _mask_seeds(key, B: int):
+    """Per-sample int32 seeds for the in-kernel hardware PRNG, derived
+    from the dropout key (regenerated identically in fwd and bwd)."""
+    kd = key if jnp.issubdtype(key.dtype, jnp.integer) else jax.random.key_data(key)
+    kd = kd.reshape(-1).astype(jnp.uint32)
+    base = kd[0] ^ (kd[-1] * jnp.uint32(2654435761))
+    return (base + jnp.arange(B, dtype=jnp.uint32) * jnp.uint32(2654435769)).astype(jnp.int32)
 
 
 def _xla_impl(cfg, node, view, c_view, features, loc_embed, tv, key):
@@ -81,12 +93,15 @@ def _pallas(cfg, node, view, c_view, features, loc_embed, tv, key):
     fdrop, train = cfg
     D = features.shape[-1]
     interpret = jax.default_backend() != "tpu"
-    mask = None
+    mask = seeds = None
     if train and fdrop > 0.0:
-        mask = make_keep_mask(key, node.shape + (36, D), fdrop)
+        if _BACKEND == "pallas_prng":
+            seeds = _mask_seeds(key, node.shape[0])
+        else:
+            mask = make_keep_mask(key, node.shape + (36, D), fdrop)
     oi, oa, alpha, cand = pano_attend_fwd_pallas(
         node, view, c_view, features, loc_embed, tv[:, :D], tv[:, D:],
-        mask=mask, keep=1.0 - fdrop, interpret=interpret)
+        mask=mask, seeds=seeds, keep=1.0 - fdrop, interpret=interpret)
     return jnp.concatenate([oi, oa], axis=-1), alpha, cand
 
 
@@ -97,13 +112,13 @@ def pano_attend_cands(cfg, node, view, c_view, features, loc_embed, tv, key):
     ``cfg`` is (feat_drop_rate, train).  ``key`` is the decoder's
     fold_in(rng, 1) panorama-dropout key.  Differentiable in ``tv`` only
     (the tables are frozen world data)."""
-    impl = _pallas if _BACKEND == "pallas" else _xla_impl
+    impl = _pallas if _BACKEND.startswith("pallas") else _xla_impl
     vis, _alpha, cand = impl(cfg, node, view, c_view, features, loc_embed, tv, key)
     return vis, cand
 
 
 def _fwd(cfg, node, view, c_view, features, loc_embed, tv, key):
-    impl = _pallas if _BACKEND == "pallas" else _xla_impl
+    impl = _pallas if _BACKEND.startswith("pallas") else _xla_impl
     vis, alpha, cand = impl(cfg, node, view, c_view, features, loc_embed, tv, key)
     return (vis, cand), (node, view, c_view, features, loc_embed, alpha, tv, key)
 
@@ -113,17 +128,20 @@ def _bwd(cfg, res, g):
     g_vis, _g_cand = g  # cand_img depends only on the gradient-free table
     fdrop, train = cfg
     D = features.shape[-1]
-    if _BACKEND == "pallas":
+    if _BACKEND.startswith("pallas"):
         from .pallas.pano_fused import pano_attend_bwd_pallas
 
         interpret = jax.default_backend() != "tpu"
-        mask = None
+        mask = seeds = None
         if train and fdrop > 0.0:
-            mask = make_keep_mask(key, node.shape + (36, D), fdrop)
+            if _BACKEND == "pallas_prng":
+                seeds = _mask_seeds(key, node.shape[0])
+            else:
+                mask = make_keep_mask(key, node.shape + (36, D), fdrop)
         di, da, _ = pano_attend_bwd_pallas(
             node, view, c_view, features, loc_embed, alpha,
-            g_vis[:, :D], g_vis[:, D:], mask=mask, keep=1.0 - fdrop,
-            interpret=interpret)
+            g_vis[:, :D], g_vis[:, D:], mask=mask, seeds=seeds,
+            keep=1.0 - fdrop, interpret=interpret)
         d_tv = jnp.concatenate([di, da], axis=-1)
     else:
         _, vjp = jax.vjp(

@@ -51,6 +51,17 @@ def _dropped(fg, mask_g, keep: float):
     return jnp.where(mask_g, fg / keep, 0.0).astype(fg.dtype).astype(jnp.float32)
 
 
+def _prng_keep_mask(seed, shape, keep: float):
+    """In-kernel keep-mask from the TPU hardware PRNG: deterministic per
+    seed, so the backward kernel regenerates the forward's exact bits
+    without any mask living in HBM (saves ~20 MB/step of generate + pad +
+    read traffic vs an external mask)."""
+    pltpu.prng_seed(seed)
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    thr = min(int(keep * 4294967296.0), 4294967295)
+    return bits < jnp.uint32(thr)
+
+
 def _row_dot(a, b):
     """[1, K] x [V, K] -> [1, V] (contract trailing dims, no transpose op)."""
     return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
@@ -107,9 +118,17 @@ def _emit_cands(i, g, MC, V, cview_sp, fg, oh_ref, cand_ref):
     cand_ref[g] = rows.astype(cand_ref.dtype)
 
 
-def _fwd_kernel(keep, with_mask, MC, V, nodes_sp, views_sp, cview_sp, feat_hbm,
-                loc_ref, tvi_ref, tva_ref, mask_ref, oimg_ref, oang_ref,
-                alpha_ref, cand_ref, oh_ref, feat_buf, sems):
+def _mask_for(mask_mode, keep, mask_ref, seeds_sp, idx, g, shape):
+    if mask_mode == "ext":
+        return mask_ref[g]
+    if mask_mode == "prng":
+        return _prng_keep_mask(seeds_sp[idx], shape, keep)
+    return None
+
+
+def _fwd_kernel(keep, mask_mode, MC, V, nodes_sp, views_sp, cview_sp, seeds_sp,
+                feat_hbm, loc_ref, tvi_ref, tva_ref, mask_ref, oimg_ref,
+                oang_ref, alpha_ref, cand_ref, oh_ref, feat_buf, sems):
     i = pl.program_id(0)
     slot = _pipeline(i, feat_hbm, nodes_sp, feat_buf, sems)
     Vp = feat_buf.shape[2]
@@ -118,7 +137,7 @@ def _fwd_kernel(keep, with_mask, MC, V, nodes_sp, views_sp, cview_sp, feat_hbm,
     for g in range(G):
         fg = feat_buf[slot, g]                                   # [Vp, D]
         _emit_cands(i, g, MC, Vp, cview_sp, fg, oh_ref, cand_ref)
-        mg = mask_ref[g] if with_mask else None
+        mg = _mask_for(mask_mode, keep, mask_ref, seeds_sp, i * G + g, g, fg.shape)
         fgd = _dropped(fg, mg, keep)                             # [Vp, D] f32
         lg = loc_ref[views_sp[i * G + g]].astype(jnp.float32)    # [Vp, A]
         tvi = tvi_ref[g:g + 1, :].astype(jnp.float32)            # [1, D]
@@ -135,9 +154,9 @@ def _fwd_kernel(keep, with_mask, MC, V, nodes_sp, views_sp, cview_sp, feat_hbm,
         alpha_ref[g:g + 1, :] = a
 
 
-def _bwd_kernel(keep, with_mask, MC, V, nodes_sp, views_sp, cview_sp, feat_hbm,
-                loc_ref, alpha_ref, dimg_ref, dang_ref, mask_ref, dtvi_ref,
-                dtva_ref, cand_ref, oh_ref, feat_buf, sems):
+def _bwd_kernel(keep, mask_mode, MC, V, nodes_sp, views_sp, cview_sp, seeds_sp,
+                feat_hbm, loc_ref, alpha_ref, dimg_ref, dang_ref, mask_ref,
+                dtvi_ref, dtva_ref, cand_ref, oh_ref, feat_buf, sems):
     i = pl.program_id(0)
     slot = _pipeline(i, feat_hbm, nodes_sp, feat_buf, sems)
     Vp = feat_buf.shape[2]
@@ -145,7 +164,7 @@ def _bwd_kernel(keep, with_mask, MC, V, nodes_sp, views_sp, cview_sp, feat_hbm,
     for g in range(G):
         fg = feat_buf[slot, g]
         _emit_cands(i, g, MC, Vp, cview_sp, fg, oh_ref, cand_ref)
-        mg = mask_ref[g] if with_mask else None
+        mg = _mask_for(mask_mode, keep, mask_ref, seeds_sp, i * G + g, g, fg.shape)
         fgd = _dropped(fg, mg, keep)
         lg = loc_ref[views_sp[i * G + g]].astype(jnp.float32)
         a = alpha_ref[g:g + 1, :]                                # [1, 36]
@@ -172,6 +191,16 @@ def _sized(shape):
                         memory_space=pltpu.VMEM)
 
 
+def _interpret_arg(interpret: bool, mask_mode: str):
+    """Plain interpret handles everything except the pltpu PRNG primitives;
+    the TPU interpreter stubs prng_random_bits to zeros (all-keep mask), so
+    CPU tests of the prng mode exercise plumbing + fwd/bwd consistency
+    while real randomness stays TPU-only (seed-deterministic by design)."""
+    if interpret and mask_mode == "prng":
+        return pltpu.InterpretParams()
+    return interpret
+
+
 def _mask_spec(with_mask, V, D):
     if with_mask:
         return _sized((G, V, D))
@@ -180,8 +209,8 @@ def _mask_spec(with_mask, V, D):
 
 @functools.partial(jax.jit, static_argnames=("keep", "interpret"))
 def pano_attend_fwd_pallas(nodes, views, cand_view, features, loc_embed,
-                           tv_img, tv_ang, mask=None, keep: float = 1.0,
-                           interpret: bool = False):
+                           tv_img, tv_ang, mask=None, seeds=None,
+                           keep: float = 1.0, interpret: bool = False):
     """Returns (vis_img [B, D] f32, vis_ang [B, A] f32, alpha [B, 36] f32,
     cand_img [B, MC, D] feature-dtype)."""
     B = nodes.shape[0]
@@ -191,15 +220,18 @@ def pano_attend_fwd_pallas(nodes, views, cand_view, features, loc_embed,
     A = loc_embed.shape[-1]
     MC = cand_view.shape[1]
     Bp = ((B + G - 1) // G) * G
-    with_mask = mask is not None
+    assert mask is None or seeds is None
+    mask_mode = "ext" if mask is not None else ("prng" if seeds is not None else "none")
 
     nodes_p = _pad_rows(nodes.astype(jnp.int32), Bp)
     views_p = _pad_rows(views.astype(jnp.int32), Bp)
     cview_p = _pad_rows(cand_view.astype(jnp.int32), Bp).reshape(-1)
+    seeds_p = (_pad_rows(seeds.astype(jnp.int32), Bp) if seeds is not None
+               else jnp.zeros((Bp,), jnp.int32))
     tvi_p = _pad_rows(tv_img, Bp)
     tva_p = _pad_rows(tv_ang, Bp)
     loc_p = jnp.pad(loc_embed, ((0, 0), (0, Vp - V), (0, 0)))
-    if with_mask:
+    if mask_mode == "ext":
         mask_p = _pad_rows(mask, Bp)
         mask_p = jnp.pad(mask_p, ((0, 0), (0, Vp - V), (0, 0)),
                          constant_values=True)
@@ -207,14 +239,14 @@ def pano_attend_fwd_pallas(nodes, views, cand_view, features, loc_embed,
         mask_p = jnp.zeros((1, 1), jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(Bp // G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((V, Vp, A), lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
             _sized((G, D)),
             _sized((G, A)),
-            _mask_spec(with_mask, Vp, D),
+            _mask_spec(mask_mode == "ext", Vp, D),
         ],
         out_specs=[
             _sized((G, D)),
@@ -229,7 +261,7 @@ def pano_attend_fwd_pallas(nodes, views, cand_view, features, loc_embed,
         ],
     )
     oimg, oang, alpha, cand = pl.pallas_call(
-        functools.partial(_fwd_kernel, keep, with_mask, MC, V),
+        functools.partial(_fwd_kernel, keep, mask_mode, MC, V),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((Bp, D), jnp.float32),
@@ -237,15 +269,15 @@ def pano_attend_fwd_pallas(nodes, views, cand_view, features, loc_embed,
             jax.ShapeDtypeStruct((Bp, Vp), jnp.float32),
             jax.ShapeDtypeStruct((Bp, MC, D), features.dtype),
         ],
-        interpret=interpret,
-    )(nodes_p, views_p, cview_p, features, loc_p, tvi_p, tva_p, mask_p)
+        interpret=_interpret_arg(interpret, mask_mode),
+    )(nodes_p, views_p, cview_p, seeds_p, features, loc_p, tvi_p, tva_p, mask_p)
     return oimg[:B], oang[:B], alpha[:B, :V], cand[:B]
 
 
 @functools.partial(jax.jit, static_argnames=("keep", "interpret"))
 def pano_attend_bwd_pallas(nodes, views, cand_view, features, loc_embed,
-                           alpha, d_img, d_ang, mask=None, keep: float = 1.0,
-                           interpret: bool = False):
+                           alpha, d_img, d_ang, mask=None, seeds=None,
+                           keep: float = 1.0, interpret: bool = False):
     """Returns (d_tv_img [B, D] f32, d_tv_ang [B, A] f32,
     cand_img [B, MC, D] feature-dtype)."""
     B = nodes.shape[0]
@@ -255,24 +287,27 @@ def pano_attend_bwd_pallas(nodes, views, cand_view, features, loc_embed,
     A = loc_embed.shape[-1]
     MC = cand_view.shape[1]
     Bp = ((B + G - 1) // G) * G
-    with_mask = mask is not None
+    assert mask is None or seeds is None
+    mask_mode = "ext" if mask is not None else ("prng" if seeds is not None else "none")
 
     nodes_p = _pad_rows(nodes.astype(jnp.int32), Bp)
     views_p = _pad_rows(views.astype(jnp.int32), Bp)
     cview_p = _pad_rows(cand_view.astype(jnp.int32), Bp).reshape(-1)
+    seeds_p = (_pad_rows(seeds.astype(jnp.int32), Bp) if seeds is not None
+               else jnp.zeros((Bp,), jnp.int32))
     alpha_p = jnp.pad(_pad_rows(alpha.astype(jnp.float32), Bp),
                       ((0, 0), (0, Vp - V)))
     dimg_p = _pad_rows(d_img, Bp)
     dang_p = _pad_rows(d_ang, Bp)
     loc_p = jnp.pad(loc_embed, ((0, 0), (0, Vp - V), (0, 0)))
-    if with_mask:
+    if mask_mode == "ext":
         mask_p = jnp.pad(_pad_rows(mask, Bp), ((0, 0), (0, Vp - V), (0, 0)),
                          constant_values=True)
     else:
         mask_p = jnp.zeros((1, 1), jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(Bp // G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -280,7 +315,7 @@ def pano_attend_bwd_pallas(nodes, views, cand_view, features, loc_embed,
             _sized((G, Vp)),
             _sized((G, D)),
             _sized((G, A)),
-            _mask_spec(with_mask, Vp, D),
+            _mask_spec(mask_mode == "ext", Vp, D),
         ],
         out_specs=[
             _sized((G, D)),
@@ -294,14 +329,14 @@ def pano_attend_bwd_pallas(nodes, views, cand_view, features, loc_embed,
         ],
     )
     dtvi, dtva, cand = pl.pallas_call(
-        functools.partial(_bwd_kernel, keep, with_mask, MC, V),
+        functools.partial(_bwd_kernel, keep, mask_mode, MC, V),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((Bp, D), jnp.float32),
             jax.ShapeDtypeStruct((Bp, A), jnp.float32),
             jax.ShapeDtypeStruct((Bp, MC, D), features.dtype),
         ],
-        interpret=interpret,
-    )(nodes_p, views_p, cview_p, features, loc_p, alpha_p, dimg_p, dang_p,
-      mask_p)
+        interpret=_interpret_arg(interpret, mask_mode),
+    )(nodes_p, views_p, cview_p, seeds_p, features, loc_p, alpha_p, dimg_p,
+      dang_p, mask_p)
     return dtvi[:B], dtva[:B], cand[:B]

@@ -274,6 +274,7 @@ _C.TPU.PROFILE_DIR = ""                    # capture a jax.profiler trace of epo
 # XLA's autodiff of this graph is already near its HBM bound; the win
 # came from the fused observation kernel instead (TPU.USE_PALLAS).
 _C.TPU.FUSED_BPTT = False
+_C.TPU.CKPT_BACKEND = "pickle"             # "pickle" | "orbax" (TensorStore dirs, multi-host writes)
 
 
 def get_cfg_defaults() -> CfgNode:

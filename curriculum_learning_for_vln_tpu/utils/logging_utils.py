@@ -125,9 +125,17 @@ def time_since(since: float, percent: float) -> str:
 
 
 def clean_dir(save_dir: str, clean_key: str) -> None:
-    """Delete files whose name contains ``clean_key`` (ref: trainer.py:522-526)."""
+    """Delete checkpoints whose name contains ``clean_key``
+    (ref: trainer.py:522-526).  Handles both file checkpoints (pickle) and
+    directory checkpoints (TPU.CKPT_BACKEND=orbax)."""
     if not os.path.isdir(save_dir):
         return
     for fn in os.listdir(save_dir):
         if clean_key in fn:
-            os.remove(os.path.join(save_dir, fn))
+            path = os.path.join(save_dir, fn)
+            if os.path.isdir(path):
+                import shutil
+
+                shutil.rmtree(path)
+            else:
+                os.remove(path)

@@ -80,10 +80,10 @@ def main():
     opt_state = opt.init(params)
 
     def make_iter(train_ml: bool, train_rl: bool, il_len, fused: bool = False,
-                  fobs: bool = False):
+                  fobs: str = "xla"):
         agent.use_fused_bptt = fused
         from curriculum_learning_for_vln_tpu.ops import fused_obs
-        fused_obs.set_backend("pallas" if fobs else "xla")
+        fused_obs.set_backend(fobs)
 
         def train_iter(carry, rng):
             p, o = carry
@@ -127,7 +127,7 @@ def main():
             best = min(best, time.time() - t0)
         return best
 
-    def measure(name, train_ml, train_rl, il_len, n1=2, n2=8, fused=False, fobs=False):
+    def measure(name, train_ml, train_rl, il_len, n1=2, n2=8, fused=False, fobs="xla"):
         it = make_iter(train_ml, train_rl, il_len, fused=fused, fobs=fobs)
 
         def make_many(n):
@@ -149,9 +149,10 @@ def main():
     results["full IL8+RL35"] = measure("full IL8+RL35", True, True, IL_LEN)
     results["il-only T8"] = measure("il-only T8", True, False, IL_LEN)
     results["rl-only T35"] = measure("rl-only T35", False, True, None)
-    results["rl-only T35 fobs"] = measure("rl-only T35 fobs", False, True, None, fobs=True)
-    results["il-only T8 fobs"] = measure("il-only T8 fobs", True, False, IL_LEN, fobs=True)
-    results["full IL8+RL35 fobs"] = measure("full IL8+RL35 fobs", True, True, IL_LEN, fobs=True)
+    results["rl-only T35 fobs"] = measure("rl-only T35 fobs", False, True, None, fobs="pallas")
+    results["rl-only T35 fprng"] = measure("rl-only T35 fprng", False, True, None, fobs="pallas_prng")
+    results["il-only T8 fprng"] = measure("il-only T8 fprng", True, False, IL_LEN, fobs="pallas_prng")
+    results["full IL8+RL35 fprng"] = measure("full IL8+RL35 fprng", True, True, IL_LEN, fobs="pallas_prng")
     for k, v in results.items():
         print(f"{k}: {v*1000:.2f} ms")
 

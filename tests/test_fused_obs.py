@@ -130,3 +130,83 @@ def test_fused_obs_eval_rollout_matches(ctx, tokenizer):
         fused_obs.set_backend("xla")
     np.testing.assert_array_equal(np.asarray(r0.steps.action), np.asarray(r1.steps.action))
     np.testing.assert_array_equal(np.asarray(r0.steps.node_after), np.asarray(r1.steps.node_after))
+
+
+def test_prng_mask_mode_interpret(ctx):
+    """In-kernel PRNG mask mode ("pallas_prng"): the TPU interpreter stubs
+    prng bits to zero => all-keep mask, so the exact reference is the
+    /keep-scaled plain formulation; checks fwd, alpha, and the backward
+    kernel's d_tv against jax.vjp of that reference."""
+    import jax
+
+    from curriculum_learning_for_vln_tpu.ops.pallas.pano_fused import (
+        pano_attend_bwd_pallas, pano_attend_fwd_pallas)
+
+    tables, henv = ctx
+    feats, loc = tables.features, tables.loc_embed
+    B, MC = 6, tables.cand_view.shape[1]
+    V, D = loc.shape[1], feats.shape[-1]
+    k = jax.random.split(jax.random.PRNGKey(3), 6)
+    nodes = jax.random.randint(k[0], (B,), 0, feats.shape[0])
+    views = jax.random.randint(k[1], (B,), 0, V)
+    c_view = jax.random.randint(k[2], (B, MC), 0, V)
+    tv = jax.random.normal(k[3], (B, D + loc.shape[-1]))
+    seeds = jnp.arange(B, dtype=jnp.int32) * 7919 + 13
+    keep = 0.7
+
+    def ref(t):
+        f = feats[nodes][:, :V]
+        img = (f / keep).astype(f.dtype)
+        pano = jnp.concatenate([img, loc[views]], -1).astype(jnp.float32)
+        s = jnp.einsum("bvd,bd->bv", pano, t)
+        a = jax.nn.softmax(s, -1)
+        return jnp.einsum("bv,bvd->bd", a, pano), a
+
+    def fwd(t):
+        oi, oa, al, cd = pano_attend_fwd_pallas(
+            nodes, views, c_view, feats, loc, t[:, :D], t[:, D:],
+            seeds=seeds, keep=keep, interpret=True)
+        return jnp.concatenate([oi, oa], -1), al
+
+    v1, a1 = fwd(tv)
+    v2, _ = fwd(tv)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    vr, ar = ref(tv)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(vr), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(ar), rtol=2e-5, atol=2e-5)
+
+    g = jax.random.normal(k[4], v1.shape)
+    _, vjp = jax.vjp(lambda t: ref(t)[0], tv)
+    (d_ref,) = vjp(g)
+    di, da, _ = pano_attend_bwd_pallas(
+        nodes, views, c_view, feats, loc, a1, g[:, :D], g[:, D:],
+        seeds=seeds, keep=keep, interpret=True)
+    d_tv = jnp.concatenate([di, da], -1)
+    np.testing.assert_allclose(np.asarray(d_tv), np.asarray(d_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_agent_prng_mode_runs(ctx, tokenizer):
+    """Agent rollout with backend pallas_prng: finite loss/grads and
+    deterministic across identical calls."""
+    tables, henv = ctx
+    agent = make_agent(tokenizer, episode_len=4)
+    params, _ = agent.init(jax.random.PRNGKey(6))
+    ep = henv.next_batch()
+    rng = jax.random.PRNGKey(9)
+
+    def loss_fn(p):
+        losses, _, _ = agent.rollout(p, {}, tables, ep, rng, train=True,
+                                     feedback=FEEDBACK_TEACHER,
+                                     train_ml=True, train_rl=False)
+        return agent.loss_fn(losses)
+
+    try:
+        fused_obs.set_backend("pallas_prng")
+        v1, g1 = jax.value_and_grad(loss_fn)(params)
+        v2, _ = jax.value_and_grad(loss_fn)(params)
+    finally:
+        fused_obs.set_backend("xla")
+    assert np.isfinite(float(v1)) and float(v1) == float(v2)
+    for leaf in jax.tree_util.tree_leaves(g1):
+        assert np.all(np.isfinite(np.asarray(leaf, np.float32)))

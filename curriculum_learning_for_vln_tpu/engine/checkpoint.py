@@ -55,6 +55,10 @@ def save_checkpoint(
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         pickle.dump(bundle, f, protocol=pickle.HIGHEST_PROTOCOL)
+    if os.path.isdir(path):  # a previous run used the orbax (directory) format
+        import shutil
+
+        shutil.rmtree(path)
     os.replace(tmp, path)
 
 

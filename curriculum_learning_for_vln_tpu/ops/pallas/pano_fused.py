@@ -62,18 +62,6 @@ def _prng_keep_mask(seed, shape, keep: float):
     return bits < jnp.uint32(thr)
 
 
-def _row_dot(a, b):
-    """[1, K] x [V, K] -> [1, V] (contract trailing dims, no transpose op)."""
-    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-
-
-def _row_mix(a, b):
-    """[1, V] x [V, K] -> [1, K]."""
-    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-
-
 def _start_group(feat_hbm, nodes_sp, feat_buf, sems, step, slot):
     for g in range(G):
         pltpu.make_async_copy(
@@ -101,82 +89,92 @@ def _pipeline(i, feat_hbm, nodes_sp, feat_buf, sems):
     return slot
 
 
-def _emit_cands(i, g, MC, V, cview_sp, fg, oh_ref, cand_ref):
+def _emit_cands(g, fg, oh_ref, cand_ref):
     """Emit the candidate view rows via a one-hot MXU matmul — replaces
     observe()'s take_along_axis over the materialized gather.  (A direct
     dynamic-sublane vector load is rejected by Mosaic: the row index
     cannot be proven 8-aligned; onehot @ rows is alignment-free and
-    bit-exact through f32.)"""
-    for j in range(MC):
-        cv = cview_sp[(i * G + g) * MC + j]
-        oh_ref[j:j + 1, :] = (
-            jax.lax.broadcasted_iota(jnp.int32, (1, V), 1) == cv
-        ).astype(jnp.float32)
+    bit-exact through f32.  The [MC, Vp] one-hot matrices are built
+    OUTSIDE the kernel — building them in-kernel from prefetched scalars
+    cost ~40 us/step of serialized row writes.)"""
     rows = jax.lax.dot_general(
-        oh_ref[:], fg.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        oh_ref[g], fg.astype(jnp.float32), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     cand_ref[g] = rows.astype(cand_ref.dtype)
 
 
-def _mask_for(mask_mode, keep, mask_ref, seeds_sp, idx, g, shape):
+def _group_inputs(mask_mode, keep, mask_ref, seeds_sp, i, feat_buf, slot,
+                  loc_ref, views_sp, loc_scr):
+    """Batched per-group tensors: dropped features [G, Vp, D] f32 and the
+    per-sample view-location rows [G, Vp, A] f32.  All G samples proceed
+    through one set of [G, Vp, .] tensor ops — the per-sample row-oriented
+    loop serialized ~8 small VPU chains per grid step (measured ~37
+    us/step floor; batched, the same math is a few large VPU passes)."""
+    fg_all = feat_buf[slot]                                      # [G, Vp, D]
     if mask_mode == "ext":
-        return mask_ref[g]
-    if mask_mode == "prng":
-        return _prng_keep_mask(seeds_sp[idx], shape, keep)
-    return None
+        mask = mask_ref[:]
+    elif mask_mode == "prng":
+        # one draw per grid step (seeded by the group's first sample) —
+        # fwd and bwd regenerate identical bits from the same seed
+        mask = _prng_keep_mask(seeds_sp[i * G], fg_all.shape, keep)
+    else:
+        mask = None
+    fgd_all = _dropped(fg_all, mask, keep)                       # [G, Vp, D] f32
+    for g in range(G):
+        loc_scr[g] = loc_ref[views_sp[i * G + g]]
+    lg_all = loc_scr[:].astype(jnp.float32)                      # [G, Vp, A]
+    return fgd_all, lg_all
 
 
-def _fwd_kernel(keep, mask_mode, MC, V, nodes_sp, views_sp, cview_sp, seeds_sp,
-                feat_hbm, loc_ref, tvi_ref, tva_ref, mask_ref, oimg_ref,
-                oang_ref, alpha_ref, cand_ref, oh_ref, feat_buf, sems):
+def _fwd_kernel(keep, mask_mode, MC, V, nodes_sp, views_sp, seeds_sp,
+                feat_hbm, loc_ref, oh_ref, tvi_ref, tva_ref, mask_ref,
+                oimg_ref, oang_ref, alpha_ref, cand_ref, loc_scr, feat_buf,
+                sems):
     i = pl.program_id(0)
     slot = _pipeline(i, feat_hbm, nodes_sp, feat_buf, sems)
-    Vp = feat_buf.shape[2]
-    pad_cols = jax.lax.broadcasted_iota(jnp.int32, (1, Vp), 1) >= V
 
     for g in range(G):
-        fg = feat_buf[slot, g]                                   # [Vp, D]
-        _emit_cands(i, g, MC, Vp, cview_sp, fg, oh_ref, cand_ref)
-        mg = _mask_for(mask_mode, keep, mask_ref, seeds_sp, i * G + g, g, fg.shape)
-        fgd = _dropped(fg, mg, keep)                             # [Vp, D] f32
-        lg = loc_ref[views_sp[i * G + g]].astype(jnp.float32)    # [Vp, A]
-        tvi = tvi_ref[g:g + 1, :].astype(jnp.float32)            # [1, D]
-        tva = tva_ref[g:g + 1, :].astype(jnp.float32)            # [1, A]
+        _emit_cands(g, feat_buf[slot, g], oh_ref, cand_ref)
 
-        s = _row_dot(tvi, fgd) + _row_dot(tva, lg)               # [1, Vp]
-        s = jnp.where(pad_cols, -1e30, s)                        # mask pad rows
-        s = s - jnp.max(s, axis=1, keepdims=True)
-        e = jnp.exp(s)
-        a = e / jnp.sum(e, axis=1, keepdims=True)                # [1, Vp]
+    fgd_all, lg_all = _group_inputs(mask_mode, keep, mask_ref, seeds_sp, i,
+                                    feat_buf, slot, loc_ref, views_sp, loc_scr)
+    tvi = tvi_ref[:].astype(jnp.float32)[:, None, :]             # [G, 1, D]
+    tva = tva_ref[:].astype(jnp.float32)[:, None, :]             # [G, 1, A]
 
-        oimg_ref[g:g + 1, :] = _row_mix(a, fgd)
-        oang_ref[g:g + 1, :] = _row_mix(a, lg)
-        alpha_ref[g:g + 1, :] = a
+    s = jnp.sum(fgd_all * tvi, axis=2) + jnp.sum(lg_all * tva, axis=2)
+    pad_cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) >= V
+    s = jnp.where(pad_cols, -1e30, s)                            # [G, Vp]
+    s = s - jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s)
+    a = e / jnp.sum(e, axis=1, keepdims=True)                    # [G, Vp]
+
+    oimg_ref[:] = jnp.sum(fgd_all * a[:, :, None], axis=1)
+    oang_ref[:] = jnp.sum(lg_all * a[:, :, None], axis=1)
+    alpha_ref[:] = a
 
 
-def _bwd_kernel(keep, mask_mode, MC, V, nodes_sp, views_sp, cview_sp, seeds_sp,
-                feat_hbm, loc_ref, alpha_ref, dimg_ref, dang_ref, mask_ref,
-                dtvi_ref, dtva_ref, cand_ref, oh_ref, feat_buf, sems):
+def _bwd_kernel(keep, mask_mode, MC, V, nodes_sp, views_sp, seeds_sp,
+                feat_hbm, loc_ref, oh_ref, alpha_ref, dimg_ref, dang_ref,
+                mask_ref, dtvi_ref, dtva_ref, cand_ref, loc_scr, feat_buf,
+                sems):
     i = pl.program_id(0)
     slot = _pipeline(i, feat_hbm, nodes_sp, feat_buf, sems)
-    Vp = feat_buf.shape[2]
 
     for g in range(G):
-        fg = feat_buf[slot, g]
-        _emit_cands(i, g, MC, Vp, cview_sp, fg, oh_ref, cand_ref)
-        mg = _mask_for(mask_mode, keep, mask_ref, seeds_sp, i * G + g, g, fg.shape)
-        fgd = _dropped(fg, mg, keep)
-        lg = loc_ref[views_sp[i * G + g]].astype(jnp.float32)
-        a = alpha_ref[g:g + 1, :]                                # [1, 36]
-        dvi = dimg_ref[g:g + 1, :].astype(jnp.float32)           # [1, D]
-        dva = dang_ref[g:g + 1, :].astype(jnp.float32)           # [1, A]
+        _emit_cands(g, feat_buf[slot, g], oh_ref, cand_ref)
 
-        d_a = _row_dot(dvi, fgd) + _row_dot(dva, lg)             # [1, 36]
-        inner = jnp.sum(a * d_a, axis=1, keepdims=True)          # [1, 1]
-        d_s = a * (d_a - inner)                                  # [1, 36]
+    fgd_all, lg_all = _group_inputs(mask_mode, keep, mask_ref, seeds_sp, i,
+                                    feat_buf, slot, loc_ref, views_sp, loc_scr)
+    a = alpha_ref[:]                                             # [G, Vp]
+    dvi = dimg_ref[:].astype(jnp.float32)[:, None, :]            # [G, 1, D]
+    dva = dang_ref[:].astype(jnp.float32)[:, None, :]            # [G, 1, A]
 
-        dtvi_ref[g:g + 1, :] = _row_mix(d_s, fgd)
-        dtva_ref[g:g + 1, :] = _row_mix(d_s, lg)
+    d_a = jnp.sum(fgd_all * dvi, axis=2) + jnp.sum(lg_all * dva, axis=2)
+    inner = jnp.sum(a * d_a, axis=1, keepdims=True)              # [G, 1]
+    d_s = a * (d_a - inner)                                      # [G, Vp]
+
+    dtvi_ref[:] = jnp.sum(fgd_all * d_s[:, :, None], axis=1)
+    dtva_ref[:] = jnp.sum(lg_all * d_s[:, :, None], axis=1)
 
 
 def _pad_rows(x, n):
@@ -225,7 +223,7 @@ def pano_attend_fwd_pallas(nodes, views, cand_view, features, loc_embed,
 
     nodes_p = _pad_rows(nodes.astype(jnp.int32), Bp)
     views_p = _pad_rows(views.astype(jnp.int32), Bp)
-    cview_p = _pad_rows(cand_view.astype(jnp.int32), Bp).reshape(-1)
+    oh_p = _pad_rows(jax.nn.one_hot(cand_view, Vp, dtype=jnp.float32), Bp)
     seeds_p = (_pad_rows(seeds.astype(jnp.int32), Bp) if seeds is not None
                else jnp.zeros((Bp,), jnp.int32))
     tvi_p = _pad_rows(tv_img, Bp)
@@ -239,11 +237,12 @@ def pano_attend_fwd_pallas(nodes, views, cand_view, features, loc_embed,
         mask_p = jnp.zeros((1, 1), jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(Bp // G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((V, Vp, A), lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
+            _sized((G, MC, Vp)),
             _sized((G, D)),
             _sized((G, A)),
             _mask_spec(mask_mode == "ext", Vp, D),
@@ -255,7 +254,7 @@ def pano_attend_fwd_pallas(nodes, views, cand_view, features, loc_embed,
             _sized((G, MC, D)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((MC, Vp), jnp.float32),
+            pltpu.VMEM((G, Vp, A), loc_embed.dtype),
             pltpu.VMEM((2, G, Vp, D), features.dtype),
             pltpu.SemaphoreType.DMA((2, G)),
         ],
@@ -270,7 +269,7 @@ def pano_attend_fwd_pallas(nodes, views, cand_view, features, loc_embed,
             jax.ShapeDtypeStruct((Bp, MC, D), features.dtype),
         ],
         interpret=_interpret_arg(interpret, mask_mode),
-    )(nodes_p, views_p, cview_p, seeds_p, features, loc_p, tvi_p, tva_p, mask_p)
+    )(nodes_p, views_p, seeds_p, features, loc_p, oh_p, tvi_p, tva_p, mask_p)
     return oimg[:B], oang[:B], alpha[:B, :V], cand[:B]
 
 
@@ -292,7 +291,7 @@ def pano_attend_bwd_pallas(nodes, views, cand_view, features, loc_embed,
 
     nodes_p = _pad_rows(nodes.astype(jnp.int32), Bp)
     views_p = _pad_rows(views.astype(jnp.int32), Bp)
-    cview_p = _pad_rows(cand_view.astype(jnp.int32), Bp).reshape(-1)
+    oh_p = _pad_rows(jax.nn.one_hot(cand_view, Vp, dtype=jnp.float32), Bp)
     seeds_p = (_pad_rows(seeds.astype(jnp.int32), Bp) if seeds is not None
                else jnp.zeros((Bp,), jnp.int32))
     alpha_p = jnp.pad(_pad_rows(alpha.astype(jnp.float32), Bp),
@@ -307,11 +306,12 @@ def pano_attend_bwd_pallas(nodes, views, cand_view, features, loc_embed,
         mask_p = jnp.zeros((1, 1), jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(Bp // G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((V, Vp, A), lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
+            _sized((G, MC, Vp)),
             _sized((G, Vp)),
             _sized((G, D)),
             _sized((G, A)),
@@ -323,7 +323,7 @@ def pano_attend_bwd_pallas(nodes, views, cand_view, features, loc_embed,
             _sized((G, MC, D)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((MC, Vp), jnp.float32),
+            pltpu.VMEM((G, Vp, A), loc_embed.dtype),
             pltpu.VMEM((2, G, Vp, D), features.dtype),
             pltpu.SemaphoreType.DMA((2, G)),
         ],
@@ -337,6 +337,6 @@ def pano_attend_bwd_pallas(nodes, views, cand_view, features, loc_embed,
             jax.ShapeDtypeStruct((Bp, MC, D), features.dtype),
         ],
         interpret=_interpret_arg(interpret, mask_mode),
-    )(nodes_p, views_p, cview_p, seeds_p, features, loc_p, alpha_p, dimg_p,
+    )(nodes_p, views_p, seeds_p, features, loc_p, oh_p, alpha_p, dimg_p,
       dang_p, mask_p)
     return dtvi[:B], dtva[:B], cand[:B]

@@ -68,6 +68,25 @@ def main():
         vis = jnp.concatenate([oi, oa], -1)
         return jnp.tanh(vis[:, :H] + jnp.sum(cand.astype(jnp.float32), axis=(1, 2), keepdims=False)[:, None] * 0), (vis, alpha)
 
+    def pallas_prng_step(q, xs):
+        node_t, view_t, key = xs
+        seeds = jnp.arange(B, dtype=jnp.int32) + jnp.int32(jnp.sum(q[0, :1]) * 0)
+        tv = q @ W
+        oi, oa, alpha, cand = pano_attend_fwd_pallas(
+            node_t, view_t, cand_view, feats_pad, loc, tv[:, :D], tv[:, D:],
+            seeds=seeds, keep=keep, interpret=interp)
+        vis = jnp.concatenate([oi, oa], -1)
+        return jnp.tanh(vis[:, :H] + jnp.sum(cand.astype(jnp.float32), axis=(1, 2))[:, None] * 0), None
+
+    def pallas_nomask_step(q, xs):
+        node_t, view_t, key = xs
+        tv = q @ W
+        oi, oa, alpha, cand = pano_attend_fwd_pallas(
+            node_t, view_t, cand_view, feats_pad, loc, tv[:, :D], tv[:, D:],
+            keep=1.0, interpret=interp)
+        vis = jnp.concatenate([oi, oa], -1)
+        return jnp.tanh(vis[:, :H] + jnp.sum(cand.astype(jnp.float32), axis=(1, 2))[:, None] * 0), None
+
     def pallas_bwd_step(q, xs):
         node_t, view_t, key = xs
         m = make_keep_mask(key, (B, V, D), 1 - keep)
@@ -109,8 +128,8 @@ def main():
         return best
 
     q0 = jax.random.normal(ks[6], (B, H), jnp.float32)
-    for name, step in [("xla chain", xla_step), ("pallas fwd", pallas_step),
-                       ("pallas bwd", pallas_bwd_step)]:
+    for name, step in [("pallas fwd ext", pallas_step), ("pallas fwd prng", pallas_prng_step),
+                       ("pallas fwd nomask", pallas_nomask_step), ("pallas bwd ext", pallas_bwd_step)]:
         t0 = time.time()
         t1 = timed(make_many(step, 2), q0)
         t2 = timed(make_many(step, 10), q0)

@@ -13,9 +13,11 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..env import env as E2
 from ..env.env import EpisodeBatch
 from ..models import decoders as D
 from ..models.encoder import encoder_apply, encoder_init
+from ..ops import fused_obs
 from ..utils.tokenizer import PAD_IDX
 from ..world.compiler import WorldTables
 from . import common as C
@@ -81,20 +83,48 @@ class FollowerAgent:
         # path's compute dtype so the scan carry type is stable under bf16
         a_prev0 = jnp.zeros((B, self.action_emb_size), self.compute_dtype)
 
+        # fused observation path: the follower's projected visual attention
+        # reparameterizes exactly onto the EnvDrop kernel — scores
+        # (pano@Wv + bv).(Wh h + bh) == pano.(Wv^T(Wh h + bh)) up to the
+        # softmax-invariant bv constant — so the same Pallas op serves both
+        # agents (fdrop=0: the follower has no environmental dropout)
+        use_fused_obs = fused_obs.enabled_for(world.features, self.compute_dtype)
+        MC = world.cand_view.shape[1]
+        cand0 = jnp.zeros((B, MC + 1, self.feature_size), self.compute_dtype)
+
         def model_step(mc, obs, state, rng_t, t):
-            h, c, a_prev = mc
-            logits, (h1, c1), _ = D.follower_decoder_step(
-                params["decoder"], obs.pano_feat, a_prev, obs.cand_feat,
-                h, c, ctx, ctx_mask, rng_t, train, drop,
-            )
-            return logits, (h1, c1, a_prev), h1, jnp.zeros(B)
+            h, c, a_prev, _ = mc
+            if use_fused_obs:
+                tv = D.follower_visual_query(params["decoder"], h)
+                vis, cand_img = fused_obs.pano_attend_cands(
+                    (0.0, train), state.node, state.view_idx, obs.cand_view,
+                    world.features, world.loc_embed, tv, rng_t,
+                )
+                cand_feat = E2.assemble_cand_feat(cand_img, obs.cand_angle,
+                                                  obs.cand_valid)
+                logits, (h1, c1), _ = D.follower_decoder_from_vis(
+                    params["decoder"], vis, a_prev, cand_feat,
+                    h, c, ctx, ctx_mask, rng_t, train, drop,
+                )
+            else:
+                cand_feat = obs.cand_feat
+                logits, (h1, c1), _ = D.follower_decoder_step(
+                    params["decoder"], obs.pano_feat, a_prev, cand_feat,
+                    h, c, ctx, ctx_mask, rng_t, train, drop,
+                )
+            return logits, (h1, c1, a_prev, cand_feat), h1, jnp.zeros(B)
 
         def model_post(mc, obs, action):
-            h, c, _ = mc
-            return (h, c, C.gather_prev_action_feature(obs, action))
+            # a_t_prev = chosen candidate's feature, taken from the carried
+            # cand_feat so the fused path never touches obs.cand_feat (which
+            # would keep the XLA gather alive)
+            h, c, _, cand_feat = mc
+            a = jnp.clip(action, 0, cand_feat.shape[1] - 1)
+            a_new = jnp.take_along_axis(cand_feat, a[:, None, None], axis=1)[:, 0, :]
+            return (h, c, a_new.astype(self.compute_dtype), cand_feat)
 
         result = C.rollout_scan(
-            world, ep, rng, (h0, c0, a_prev0), model_step,
+            world, ep, rng, (h0, c0, a_prev0, cand0), model_step,
             episode_len or self.episode_len, feedback, model_post=model_post,
             avoid_cyclic=avoid_cyclic, compute_dtype=self.compute_dtype,
         )

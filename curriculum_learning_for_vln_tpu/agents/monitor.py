@@ -16,9 +16,11 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..env import env as E2
 from ..env.env import EpisodeBatch
 from ..models import decoders as D
 from ..models.encoder import encoder_apply, encoder_init
+from ..ops import fused_obs
 from ..utils.tokenizer import PAD_IDX
 from ..world.compiler import WorldTables
 from . import common as C
@@ -83,20 +85,40 @@ class SelfMonitorAgent:
         B = ep.instr_tokens.shape[0]
         a_prev0 = jnp.zeros((B, self.action_emb_size), self.compute_dtype)
 
+        # the monitor's decoder attends over candidates, not the panorama —
+        # with the fused observation op in cands_only mode the [B, 36, D]
+        # feature gather never materializes (the op streams rows and emits
+        # just the candidate features; its backward is a static zero)
+        use_fused_obs = fused_obs.enabled_for(world.features, self.compute_dtype)
+        MC = world.cand_view.shape[1]
+        cand0 = jnp.zeros((B, MC + 1, self.feature_size), self.compute_dtype)
+
         def model_step(mc, obs, state, rng_t, t):
-            h, c, a_prev, bn = mc
+            h, c, a_prev, bn, _ = mc
+            if use_fused_obs:
+                dummy_tv = jnp.zeros((B, self.feature_size), jnp.float32)
+                _, cand_img = fused_obs.pano_attend_cands(
+                    (0.0, train, True), state.node, state.view_idx, obs.cand_view,
+                    world.features, world.loc_embed, dummy_tv, rng_t,
+                )
+                cand_feat = E2.assemble_cand_feat(cand_img, obs.cand_angle,
+                                                  obs.cand_valid)
+            else:
+                cand_feat = obs.cand_feat
             (logits, progress), (h1, c1), bn2, _ = D.monitor_decoder_step(
-                params["decoder"], bn, a_prev, obs.cand_feat[:, :, :], obs.cand_mask,
+                params["decoder"], bn, a_prev, cand_feat, obs.cand_mask,
                 h, c, ctx, ctx_mask, rng_t, train, drop,
             )
-            return logits, (h1, c1, a_prev, bn2), h1, progress
+            return logits, (h1, c1, a_prev, bn2, cand_feat), h1, progress
 
         def model_post(mc, obs, action):
-            h, c, _, bn = mc
-            return (h, c, C.gather_prev_action_feature(obs, action), bn)
+            h, c, _, bn, cand_feat = mc
+            a = jnp.clip(action, 0, cand_feat.shape[1] - 1)
+            a_new = jnp.take_along_axis(cand_feat, a[:, None, None], axis=1)[:, 0, :]
+            return (h, c, a_new.astype(self.compute_dtype), bn, cand_feat)
 
         result = C.rollout_scan(
-            world, ep, rng, (h0, c0, a_prev0, model_state["decoder_bn"]),
+            world, ep, rng, (h0, c0, a_prev0, model_state["decoder_bn"], cand0),
             model_step, episode_len or self.episode_len, feedback,
             model_post=model_post, avoid_cyclic=avoid_cyclic, compute_dtype=self.compute_dtype,
         )

@@ -43,6 +43,43 @@ def follower_decoder_init(key, hidden_size: int, action_embed_size: int, feature
     }
 
 
+def follower_decoder_from_vis(
+    p: dict,
+    weighted_v: jnp.ndarray,   # [B, F] attention-weighted panorama
+    a_prev: jnp.ndarray,       # [B, A]
+    cand_feat: jnp.ndarray,    # [B, K, A]
+    h: jnp.ndarray,
+    c: jnp.ndarray,
+    ctx: jnp.ndarray,
+    ctx_mask: Optional[jnp.ndarray],
+    rng,
+    train: bool,
+    drop_rate: float = 0.5,
+):
+    """The follower step after visual attention — shared by the
+    reference-shaped ``follower_decoder_step`` and the fused-observation
+    path (ops/fused_obs.py; same fold_in indices)."""
+    visual_ctx = dropout(
+        jax.random.fold_in(rng, 0), jnp.concatenate([a_prev, weighted_v], axis=-1),
+        drop_rate, deterministic=not train,
+    )
+    h1, c1 = lstm_cell(p["lstm"], visual_ctx, h, c)
+    h1_drop = dropout(jax.random.fold_in(rng, 1), h1, drop_rate, deterministic=not train)
+    h_tilde, alpha_c = soft_dot(p["text_attn"], h1_drop, ctx, ctx_mask)
+    logits = action_scoring(p["decode_action"], cand_feat, h_tilde)
+    return logits, (h1, c1), alpha_c
+
+
+def follower_visual_query(p: dict, h: jnp.ndarray) -> jnp.ndarray:
+    """Reparameterized visual-attention query for the fused observation
+    kernel: visual_soft_dot scores are (pano @ W_v + b_v) . (W_h h + b_h);
+    by associativity pano . (W_v^T (W_h h + b_h)) gives the same softmax
+    (the b_v term adds a per-sample constant to every view's score, which
+    softmax ignores — so b_v correctly receives zero gradient)."""
+    t = dense(p["visual_attn"]["linear_in_h"], h)              # [B, dot]
+    return jnp.einsum("bd,fd->bf", t, p["visual_attn"]["linear_in_v"]["w"])
+
+
 def follower_decoder_step(
     p: dict,
     pano_feat: jnp.ndarray,    # [B, 36, F]
@@ -57,14 +94,9 @@ def follower_decoder_step(
     drop_rate: float = 0.5,
 ):
     weighted_v, alpha_v = visual_soft_dot(p["visual_attn"], h, pano_feat)
-    visual_ctx = dropout(
-        jax.random.fold_in(rng, 0), jnp.concatenate([a_prev, weighted_v], axis=-1),
-        drop_rate, deterministic=not train,
+    logits, (h1, c1), alpha_c = follower_decoder_from_vis(
+        p, weighted_v, a_prev, cand_feat, h, c, ctx, ctx_mask, rng, train, drop_rate,
     )
-    h1, c1 = lstm_cell(p["lstm"], visual_ctx, h, c)
-    h1_drop = dropout(jax.random.fold_in(rng, 1), h1, drop_rate, deterministic=not train)
-    h_tilde, alpha_c = soft_dot(p["text_attn"], h1_drop, ctx, ctx_mask)
-    logits = action_scoring(p["decode_action"], cand_feat, h_tilde)
     return logits, (h1, c1), (alpha_c, alpha_v)
 
 

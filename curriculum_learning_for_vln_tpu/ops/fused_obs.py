@@ -19,13 +19,17 @@ This op draws a custom-VJP boundary around exactly that chain:
   cand_img cotangent is discarded by construction (its only upstream
   dependency is the table).
 
-Dropout masks are regenerated from the same key in forward and backward
-(models.core.make_keep_mask), so nothing mask-sized is stored either.
+Dropout masks are never stored: the "pallas" backend regenerates them
+from the same key in forward and backward (models.core.make_keep_mask,
+bit-identical to the XLA path), and the production "pallas_prng" backend
+draws them from the in-kernel hardware RNG (seed-deterministic; nothing
+mask-sized ever touches HBM — scripts/check_rbg.py verifies the
+determinism assumption on device).
 
 Backend dispatch mirrors ops.rnn: default "xla" runs the plain
 formulation (bit-identical to the unfused observe+decoder path);
-``set_backend("pallas")`` switches to the kernels — on real TPU
-compiled, elsewhere in interpret mode (tests).
+``set_backend("pallas" | "pallas_prng")`` switches to the kernels — on
+real TPU compiled, elsewhere in interpret mode (tests).
 
 ref: the fused semantics are observe()'s panorama/candidate assembly
 (env/env.py) + EnvDrop's environmental dropout and visual SoftDot
@@ -74,7 +78,7 @@ def _mask_seeds(key, B: int):
 def _xla_impl(cfg, node, view, c_view, features, loc_embed, tv, key):
     """Plain formulation — the exact ops of observe() + the decoder's
     fold_in(rng, 1) panorama dropout, for parity and for the backward."""
-    fdrop, train = cfg
+    fdrop, train = cfg[0], cfg[1]
     # the stored table may be view-padded for the kernel's DMA alignment
     feats = features[node][:, :loc_embed.shape[1]]
     loc = loc_embed[view]
@@ -90,7 +94,7 @@ def _xla_impl(cfg, node, view, c_view, features, loc_embed, tv, key):
 def _pallas(cfg, node, view, c_view, features, loc_embed, tv, key):
     from .pallas.pano_fused import pano_attend_fwd_pallas
 
-    fdrop, train = cfg
+    fdrop, train = cfg[0], cfg[1]
     D = features.shape[-1]
     interpret = jax.default_backend() != "tpu"
     mask = seeds = None
@@ -109,7 +113,11 @@ def _pallas(cfg, node, view, c_view, features, loc_embed, tv, key):
 def pano_attend_cands(cfg, node, view, c_view, features, loc_embed, tv, key):
     """(vis [B, F] f32, cand_img [B, MC, D]) for the current states.
 
-    ``cfg`` is (feat_drop_rate, train).  ``key`` is the decoder's
+    ``cfg`` is (feat_drop_rate, train) or (feat_drop_rate, train,
+    cands_only); with cands_only=True the caller uses only cand_img
+    (e.g. the Self-Monitor agent, whose decoder attends over candidates,
+    not the panorama) and the backward short-circuits to a zero query
+    cotangent without touching the tables.  ``key`` is the decoder's
     fold_in(rng, 1) panorama-dropout key.  Differentiable in ``tv`` only
     (the tables are frozen world data)."""
     impl = _pallas if _BACKEND.startswith("pallas") else _xla_impl
@@ -126,7 +134,9 @@ def _fwd(cfg, node, view, c_view, features, loc_embed, tv, key):
 def _bwd(cfg, res, g):
     node, view, c_view, features, loc_embed, alpha, tv, key = res
     g_vis, _g_cand = g  # cand_img depends only on the gradient-free table
-    fdrop, train = cfg
+    if len(cfg) > 2 and cfg[2]:  # cands_only: vis is unused upstream
+        return (None, None, None, None, None, None, None)
+    fdrop, train = cfg[0], cfg[1]
     D = features.shape[-1]
     if _BACKEND.startswith("pallas"):
         from .pallas.pano_fused import pano_attend_bwd_pallas

@@ -19,13 +19,16 @@ only the small results:
 which is exactly the EnvDrop visual SoftDot (context_only) over the
 observation panorama (ref: policy.py:235, units.py:100-118) fused with
 observe()'s gather + candidate extraction (env/env.py) and the
-environmental dropout (policy.py:226-229).  The dropout mask is
-generated *outside* (same ``make_keep_mask`` bits as the XLA path) so
-fused and unfused paths use identical masks; the kernel replicates the
-XLA path's bf16 rounding of the dropped features before the f32
-accumulation.  Per-sample math is row-oriented `dot_general` (no
-transposes/reshapes — Mosaic rejects those; [1, 36]/[G, 36] rows keep
-the last block dims (8k, 128k-or-full)-legal).
+environmental dropout (policy.py:226-229).  Two mask modes: ``mask``
+passes externally generated ``make_keep_mask`` bits (bit-identical to
+the XLA path, for parity testing), ``seeds`` draws the mask from the
+in-kernel hardware PRNG — one deterministic draw per grid-step group, so
+nothing mask-sized ever touches HBM and the backward regenerates the
+forward's exact bits from the same seed.  The kernel replicates the XLA
+path's bf16 rounding of the dropped features before the f32
+accumulation, and the whole group's math runs as [G, Vp, .] tensor
+passes (a per-sample row-oriented loop serialized ~8 small VPU chains
+per grid step — measured 2x slower).
 
 The world tables carry no gradient, so the backward needs no
 d(features) — only d_tv, the [B, F] query cotangent (see

@@ -210,3 +210,89 @@ def test_agent_prng_mode_runs(ctx, tokenizer):
     assert np.isfinite(float(v1)) and float(v1) == float(v2)
     for leaf in jax.tree_util.tree_leaves(g1):
         assert np.all(np.isfinite(np.asarray(leaf, np.float32)))
+
+
+def test_follower_parity_with_fused_obs(ctx, tokenizer):
+    """Follower's projected visual attention reparameterizes onto the same
+    kernel (associativity; b_v is softmax-invariant): loss + grads match
+    the standard path to tolerance."""
+    from curriculum_learning_for_vln_tpu.agents import FollowerAgent
+
+    tables, henv = ctx
+    cfg = get_cfg_defaults()
+    m = cfg.MODEL.FOLLOWER
+    m.WORD_EMB_SIZE = 32
+    m.HIDDEN_SIZE = 64
+    m.ENC_BIDIRECTION = True
+    m.ENC_LAYERS = 1
+    agent = FollowerAgent(m, tokenizer.vocab_size(), FEAT_DIM, episode_len=6)
+    params, _ = agent.init(jax.random.PRNGKey(3))
+    ep = henv.next_batch()
+    rng = jax.random.PRNGKey(8)
+
+    def loss_fn(p):
+        losses, _, _ = agent.rollout(p, {}, tables, ep, rng, train=True,
+                                     feedback=FEEDBACK_TEACHER)
+        return agent.loss_fn(losses)
+
+    fused_obs.set_backend("xla")
+    v0, g0 = jax.value_and_grad(loss_fn)(params)
+    try:
+        fused_obs.set_backend("pallas")
+        v1, g1 = jax.value_and_grad(loss_fn)(params)
+    finally:
+        fused_obs.set_backend("xla")
+
+    np.testing.assert_allclose(float(v0), float(v1), rtol=2e-5)
+    flat0 = jax.tree_util.tree_flatten_with_path(g0)[0]
+    flat1 = jax.tree_util.tree_leaves(g1)
+    for (kp, a), b in zip(flat0, flat1):
+        path = jax.tree_util.keystr(kp)
+        if "linear_in_v" in path and path.endswith("['b']"):
+            # b_v only shifts every view's score equally -> softmax-invariant;
+            # the fused path returns exactly zero where autodiff returns
+            # float-epsilon noise
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4,
+                                   atol=5e-5, err_msg=path)
+
+
+def test_monitor_parity_with_fused_obs(ctx, tokenizer):
+    """Self-Monitor cands_only mode: candidate features come from the op
+    (zero-query kernel call, static-zero backward) — loss + grads match."""
+    from curriculum_learning_for_vln_tpu.agents import SelfMonitorAgent
+
+    tables, henv = ctx
+    cfg = get_cfg_defaults()
+    m = cfg.MODEL.MONITOR
+    m.WORD_EMB_SIZE = 32
+    m.HIDDEN_SIZE = 64
+    m.ENC_BIDIRECTION = False
+    m.ENC_LAYERS = 1
+    m.MLP_HIDDEN = (32,)
+    agent = SelfMonitorAgent(m, max_enc_len=24, vocab_size=tokenizer.vocab_size(),
+                             feat_dim=FEAT_DIM, episode_len=6)
+    params, mstate = agent.init(jax.random.PRNGKey(4))
+    ep = henv.next_batch()
+    rng = jax.random.PRNGKey(9)
+
+    def loss_fn(p):
+        losses, _, _ = agent.rollout(p, mstate, tables, ep, rng, train=True,
+                                     feedback=FEEDBACK_TEACHER)
+        return agent.loss_fn(losses)
+
+    fused_obs.set_backend("xla")
+    v0, g0 = jax.value_and_grad(loss_fn)(params)
+    try:
+        fused_obs.set_backend("pallas")
+        v1, g1 = jax.value_and_grad(loss_fn)(params)
+    finally:
+        fused_obs.set_backend("xla")
+
+    np.testing.assert_allclose(float(v0), float(v1), rtol=2e-5)
+    flat0 = jax.tree_util.tree_flatten_with_path(g0)[0]
+    flat1 = jax.tree_util.tree_leaves(g1)
+    for (kp, a), b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4,
+                                   atol=5e-5, err_msg=jax.tree_util.keystr(kp))

@@ -31,7 +31,8 @@ class Navigator:
     """Request-level navigation over a trained agent."""
 
     def __init__(self, world: CompiledWorld, agent, params, model_state,
-                 tokenizer: Tokenizer, max_batch: int = 8, precision: str = "f32"):
+                 tokenizer: Tokenizer, max_batch: int = 8, precision: str = "f32",
+                 use_pallas: Optional[bool] = None):
         self.world = world
         self.agent = agent
         self.params = params
@@ -39,6 +40,17 @@ class Navigator:
         self.tok = tokenizer
         self.max_batch = max_batch
         self.tables = world.device_tables(precision)
+
+        # serving gets the production kernels too (fused observation +
+        # Pallas encoder; eval rollout 3.31 -> 1.36 ms on v5e).  Default:
+        # on for real TPU, off elsewhere (interpret mode is slow).
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            from .ops import fused_obs, rnn
+
+            rnn.set_backend("pallas")
+            fused_obs.set_backend("pallas_prng")
 
         def roll(tables, params, model_state, ep, rng):
             _, result, _ = agent.rollout(params, model_state, tables, ep, rng,

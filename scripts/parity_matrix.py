@@ -17,6 +17,15 @@ from __future__ import annotations
 
 import argparse
 import os
+
+# honor JAX_PLATFORMS=cpu despite the site hook that pre-registers the
+# remote-TPU backend (eval passes are relay-RTT-bound on the remote chip:
+# measured ~25 min/run there vs ~4 min on host CPU)
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+import os
 import sys
 import tempfile
 

@@ -55,7 +55,8 @@ def main():
         s = jnp.einsum("bvd,bd->bv", pano, tv)
         a = jax.nn.softmax(s, axis=-1)
         vis = jnp.einsum("bv,bvd->bd", a, pano)
-        cand = jnp.take_along_axis(f, cand_view[None, :, :, None][0][None].repeat(B, 0) if False else jnp.broadcast_to(cand_view[:, :, None], (B, 16, 1)), axis=1)
+        # the candidate extraction the fused kernel also replaces
+        cand = jnp.take_along_axis(f, jnp.broadcast_to(cand_view[:, :, None], (B, 16, 1)), axis=1)
         return jnp.tanh(vis[:, :H] + jnp.sum(cand.astype(jnp.float32), axis=(1, 2))[:, None] * 0), vis
 
     def pallas_step(q, xs):
@@ -128,8 +129,11 @@ def main():
         return best
 
     q0 = jax.random.normal(ks[6], (B, H), jnp.float32)
-    for name, step in [("pallas fwd ext", pallas_step), ("pallas fwd prng", pallas_prng_step),
-                       ("pallas fwd nomask", pallas_nomask_step), ("pallas bwd ext", pallas_bwd_step)]:
+    for name, step in [("xla chain", xla_step),
+                       ("pallas fwd ext", pallas_step),
+                       ("pallas fwd prng", pallas_prng_step),
+                       ("pallas fwd nomask", pallas_nomask_step),
+                       ("pallas bwd ext", pallas_bwd_step)]:
         t0 = time.time()
         t1 = timed(make_many(step, 2), q0)
         t2 = timed(make_many(step, 10), q0)

@@ -190,7 +190,10 @@ class EnvDropAgent:
             crit_rngs = jax.random.split(jax.random.fold_in(rng, 7), T)
             # critic values for all steps as ONE batched matmul instead of
             # 35 tiny per-step matmuls inside the reverse scan (same
-            # per-step dropout keys -> identical values; the scan below
+            # per-step dropout keys -> identical values on the threefry
+            # path; under the TPU rbg fast-RNG mode vmap is not guaranteed
+            # bit-invariant with sequential draws — masks are still valid
+            # iid dropout and fwd/bwd stay consistent; the scan below
             # keeps only the elementwise return/advantage recurrence)
             values = jax.vmap(
                 lambda h, r: D.critic_apply(params["critic"], h, r, train, drop)

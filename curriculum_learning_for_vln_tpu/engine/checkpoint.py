@@ -65,6 +65,11 @@ def save_checkpoint(
 def load_checkpoint(path: str) -> dict:
     if os.path.isdir(path):
         return _load_orbax(path)
+    if not os.path.exists(path) and os.path.isdir(path + ".orbax_old"):
+        # a crash during _save_orbax's swap window left only the set-aside
+        # copy; recover it in place
+        os.replace(path + ".orbax_old", path)
+        return _load_orbax(path)
     with open(path, "rb") as f:
         return pickle.load(f)
 
@@ -100,17 +105,24 @@ def _save_orbax(path: str, bundle: dict) -> None:
 
     path = os.path.abspath(path)
     tmp = path + ".orbax_tmp"
-    if os.path.isdir(tmp):
-        shutil.rmtree(tmp)
+    old = path + ".orbax_old"
+    for stale in (tmp, old):  # leftovers from a crashed previous save
+        if os.path.isdir(stale):
+            shutil.rmtree(stale)
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(tmp, payload)
     with open(os.path.join(tmp, "bundle_meta.json"), "w") as f:
         json.dump(meta, f)
+    # Crash-safe overwrite: move the existing checkpoint ASIDE (rename is
+    # atomic) rather than deleting it before the swap, so a crash between
+    # the two steps still leaves a complete checkpoint on disk.
     if os.path.isdir(path):
-        shutil.rmtree(path)
+        os.replace(path, old)
     elif os.path.exists(path):
-        os.remove(path)
+        os.remove(path)  # cross-format: previous run used the pickle file
     os.replace(tmp, path)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
 
 
 def _load_orbax(path: str) -> dict:

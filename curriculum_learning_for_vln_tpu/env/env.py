@@ -151,7 +151,10 @@ def observe(world: WorldTables, state: EnvState, compute_dtype=jnp.float32) -> O
     loc_emb = world.loc_embed[state.view_idx].astype(compute_dtype)  # [B, 36, 128]
     pano = jnp.concatenate([feats, loc_emb], axis=-1)
 
-    c_next, c_valid, c_view, n, angle = _cand_meta(world, state, compute_dtype)
+    # teacher/mask/dist semantics live in observe_meta — the single
+    # implementation shared with the fused-observation kernel path
+    c_view, c_valid, n, angle, cand_mask, teacher, dist = observe_meta(
+        world, state, compute_dtype)
 
     # NOTE: slicing candidates out of the gathered pano costs an 18.9 MB
     # layout copy per step (copy.248 in the v5e trace, ~4% of the train
@@ -161,19 +164,6 @@ def observe(world: WorldTables, state: EnvState, compute_dtype=jnp.float32) -> O
     # Keep the take_along_axis form.
     cand_img = jnp.take_along_axis(feats, c_view[:, :, None], axis=1)  # [B, MC, D]
     cand_feat = assemble_cand_feat(cand_img, angle, c_valid)      # [B, MC+1, F]
-    MC = c_view.shape[1]
-
-    slot = jnp.arange(MC + 1, dtype=jnp.int32)[None, :]
-    cand_mask = slot > n[:, None]                                  # mask j >= n_cands+1 (length2mask semantics)
-
-    teacher_next = jnp.take_along_axis(world.next_hop[node], state.goal_local[:, None], axis=1)[:, 0]
-    match = (c_next == teacher_next[:, None]) & c_valid
-    teacher_move = jnp.argmax(match, axis=1).astype(jnp.int32)
-    stay = teacher_next == node
-    teacher = jnp.where(stay, n, teacher_move)
-    teacher = jnp.where(state.ended, IGNORE_ID, teacher)
-
-    dist = jnp.take_along_axis(world.dist[node], state.goal_local[:, None], axis=1)[:, 0]
 
     return Observation(
         pano_feat=pano,

@@ -8,7 +8,7 @@ against an irreducible ~14 MB (measured 63 us/step forward on v5e,
 scripts/perf_ablate.py).  These kernels stream each sample's
 ``features[node]`` rows HBM->VMEM once (G samples per grid step,
 double-buffered manual DMA — the round-1 per-sample-grid kernel lost
-4.4x to DMA latency serialization, ops/pallas/pano_attn.py) and emit
+4.4x to DMA latency serialization; postmortem in BASELINE.md) and emit
 only the small results:
 
   forward:   s = [feat*m/keep ; loc] . tv ; a = softmax(s)
@@ -243,7 +243,7 @@ def pano_attend_fwd_pallas(nodes, views, cand_view, features, loc_embed,
         num_scalar_prefetch=3,
         grid=(Bp // G,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((V, Vp, A), lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
             _sized((G, MC, Vp)),
             _sized((G, D)),
@@ -312,7 +312,7 @@ def pano_attend_bwd_pallas(nodes, views, cand_view, features, loc_embed,
         num_scalar_prefetch=3,
         grid=(Bp // G,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((V, Vp, A), lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
             _sized((G, MC, Vp)),
             _sized((G, Vp)),

@@ -46,11 +46,18 @@ class Navigator:
         # on for real TPU, off elsewhere (interpret mode is slow).
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
-        if use_pallas:
-            from .ops import fused_obs, rnn
+        # Both backends are process-global knobs: set them explicitly in
+        # BOTH directions so constructing a Navigator(use_pallas=False)
+        # restores the XLA path even after a pallas Navigator existed in
+        # the same process (advisor round-2 finding).
+        from .ops import fused_obs, rnn
 
+        if use_pallas:
             rnn.set_backend("pallas")
             fused_obs.set_backend("pallas_prng")
+        else:
+            rnn.set_backend("xla")
+            fused_obs.set_backend("xla")
 
         def roll(tables, params, model_state, ep, rng):
             _, result, _ = agent.rollout(params, model_state, tables, ep, rng,

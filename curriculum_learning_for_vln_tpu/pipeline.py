@@ -73,10 +73,12 @@ def build_synthetic_universe(cfg, seed: int = 0):
         WC.attach_synthetic_features(world, feature_dim=feat_dim)
         make = lambda **kw: SYN.make_r2r_dataset(graphs, **kw)
 
+    n_train = getattr(cfg.TPU, "SYNTHETIC_TRAIN_PATHS", 240)
+    n_val = getattr(cfg.TPU, "SYNTHETIC_VAL_PATHS", 40)
     splits = {
-        "train": make(num_paths=240, seed=seed + 1, path_id_base=0, scans=train_scans),
-        "val_seen": make(num_paths=40, seed=seed + 2, path_id_base=10_000, scans=train_scans),
-        "val_unseen": make(num_paths=40, seed=seed + 3, path_id_base=20_000, scans=unseen_scans),
+        "train": make(num_paths=n_train, seed=seed + 1, path_id_base=0, scans=train_scans),
+        "val_seen": make(num_paths=n_val, seed=seed + 2, path_id_base=10_000, scans=train_scans),
+        "val_unseen": make(num_paths=n_val, seed=seed + 3, path_id_base=20_000, scans=unseen_scans),
     }
     # curriculum rounds: partition train by path length (difficulty proxy)
     train_sorted = sorted(splits["train"], key=lambda it: it["distance"])

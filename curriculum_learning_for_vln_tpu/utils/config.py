@@ -253,6 +253,7 @@ _C.AIDE.SPEAKER.FAST_TRAIN = False
 _C.AIDE.SPEAKER.IGNORE_ID = -1
 _C.AIDE.SPEAKER.MAX_DECODE = 120
 _C.AIDE.SPEAKER.LOAD_OPTIM = False
+_C.AIDE.SPEAKER.RESUME = ""                # speaker checkpoint path (beam rescoring / self-train)
 
 # --- TPU-native extensions (no reference equivalent) -----------------------
 _C.TPU = CfgNode()
@@ -264,6 +265,8 @@ _C.TPU.SYNTHETIC_WORLD = False             # use a synthetic world (no connectiv
 _C.TPU.SYNTHETIC_SCANS = 8
 _C.TPU.SYNTHETIC_NODES = 64
 _C.TPU.SYNTHETIC_GROUNDED = True           # learnable grounded task (room-type features)
+_C.TPU.SYNTHETIC_TRAIN_PATHS = 240         # synthetic split sizes
+_C.TPU.SYNTHETIC_VAL_PATHS = 40
 _C.TPU.MAX_CANDIDATES = 16                 # static candidate-slot count (R2R max ~14)
 _C.TPU.SCAN_ITERS = 1                      # training iterations fused per dispatch (1 = off)
 _C.TPU.COMPILATION_CACHE = ".jax_cache"    # persistent XLA compile cache dir ("" = off)
@@ -275,6 +278,8 @@ _C.TPU.PROFILE_DIR = ""                    # capture a jax.profiler trace of epo
 # came from the fused observation kernel instead (TPU.USE_PALLAS).
 _C.TPU.FUSED_BPTT = False
 _C.TPU.CKPT_BACKEND = "pickle"             # "pickle" | "orbax" (TensorStore dirs, multi-host writes)
+_C.TPU.CKPT_ASYNC = False                  # overlap checkpoint writes with the next epoch
+_C.TPU.BEAM_SPEAKER_WEIGHT = 0.5           # --beam path ranking: w*speaker + (1-w)*listener log-prob
 
 
 def get_cfg_defaults() -> CfgNode:

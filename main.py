@@ -64,6 +64,17 @@ def main(args, cfg):
         engine.check_the_code(cfg, world.device_tables(cfg.TPU.PRECISION), valid_env)
         return
 
+    if args.beam > 0:
+        # beam-search inference + speaker rescoring over the val splits
+        # (the reference's beam_search is latent — base.py:452-464)
+        from curriculum_learning_for_vln_tpu.engine.beam_eval import run_beam_eval
+
+        agent = build_agent(cfg, tok.vocab_size(), feat_dim, vocab=tok.vocab)
+        run_beam_eval(cfg, agent, world, valid_env, tok,
+                      beam_size=args.beam, seed=args.seed)
+        logger.info("[5] Beam-search evaluation finished")
+        return
+
     if args.self_train:
         # speaker-augmented back-translation stage (the reference carries
         # the plumbing but no driver; SURVEY §2 "latent plumbing")
@@ -143,6 +154,9 @@ if __name__ == "__main__":
                         help="run the teacher-following sanity check and exit")
     parser.add_argument("--self-train", action="store_true",
                         help="speaker-augmented back-translation training stage")
+    parser.add_argument("--beam", default=0, type=int, metavar="N",
+                        help="run beam-search inference with beam size N over "
+                             "the validation splits and write scored results")
     parser.add_argument("opts", help="config overrides: KEY VALUE [KEY VALUE ...]",
                         default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args()

@@ -37,6 +37,8 @@ CURRICULA = ("", "NAIVE", "SELF-PACE")
 
 
 def make_cfg(model: str, clmode: str, seed: int, epochs: int, tmp: str):
+    # (naive curriculum switch_epoch is passed to NaiveCurriculum directly
+    # in run_one; see --switch-epoch)
     from curriculum_learning_for_vln_tpu.utils.config import get_cfg_defaults
 
     cfg = get_cfg_defaults()
@@ -83,7 +85,8 @@ def make_cfg(model: str, clmode: str, seed: int, epochs: int, tmp: str):
     return cfg
 
 
-def run_one(model: str, clmode: str, seed: int, epochs: int, tmp: str) -> float:
+def run_one(model: str, clmode: str, seed: int, epochs: int, tmp: str,
+            switch_epoch: int = 0) -> float:
     """Train one configuration and return final val_unseen SR."""
     import jax
 
@@ -110,7 +113,8 @@ def run_one(model: str, clmode: str, seed: int, epochs: int, tmp: str) -> float:
         for k in range(1, 6):
             acc = acc + rounds_raw[f"round_{k}"]
             train_env[f"round_{k}"] = R2RBatchEnv(world, expand(acc), bs, tok, seed + k, "train")
-        trainer = engine.NaiveCurriculum(switch_epoch=max(1, epochs // 5))
+        trainer = engine.NaiveCurriculum(
+            switch_epoch=switch_epoch or max(1, epochs // 5))
     elif clmode == "SELF-PACE":
         rounds = {k: expand(v) for k, v in rounds_raw.items()}
         train_env = CLR2RBatchEnv(world, rounds, bs, cfg.TRAIN.SELF_PACE.CRATE, tok, seed)
@@ -133,9 +137,25 @@ def main():
     ap.add_argument("--seeds", type=int, default=2)
     ap.add_argument("--epochs", type=int, default=50)
     ap.add_argument("--models", default=",".join(MODELS))
+    ap.add_argument("--switch-epoch", type=int, default=0,
+                    help="naive-CL round length in epochs (0 = epochs//5; "
+                         "the reference schedule is 20, curriculum.py:29)")
+    ap.add_argument("--out", default="",
+                    help="JSONL results file; completed (model, clmode, seed) "
+                         "runs found there are skipped, so a killed matrix "
+                         "resumes where it left off")
     args = ap.parse_args()
 
+    import json
+
     import numpy as np
+
+    done = {}
+    if args.out and os.path.exists(args.out):
+        with open(args.out) as f:
+            for line in f:
+                r = json.loads(line)
+                done[(r["model"], r["clmode"], r["seed"])] = r["sr"]
 
     results = {}
     with tempfile.TemporaryDirectory() as tmp:
@@ -143,7 +163,16 @@ def main():
             for clmode in CURRICULA:
                 srs = []
                 for seed in range(args.seeds):
-                    sr = run_one(model, clmode, 1000 + seed, args.epochs, tmp)
+                    key = (model, clmode, seed)
+                    if key in done:
+                        sr = done[key]
+                    else:
+                        sr = run_one(model, clmode, 1000 + seed, args.epochs,
+                                     tmp, switch_epoch=args.switch_epoch)
+                        if args.out:
+                            with open(args.out, "a") as f:
+                                f.write(json.dumps({"model": model, "clmode": clmode,
+                                                    "seed": seed, "sr": sr}) + "\n")
                     print(f"# {model} {clmode or 'classic':10s} seed{seed}: "
                           f"val_unseen SR={sr:.3f}", file=sys.stderr, flush=True)
                     srs.append(sr)

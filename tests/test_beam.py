@@ -168,3 +168,60 @@ def test_beam_truncation_is_logged(ctx, tokenizer, caplog):
     with caplog.at_level(logging.WARNING, logger="main.beam"):
         results = beam.dijkstra(params, mstate, ep, data, max_candidates=4)
     assert any("truncated at max_iters=2" in rec.message for rec in caplog.records)
+
+
+def test_beam_cli(tmp_path):
+    """`main.py --beam N` over the synthetic world writes the reference
+    results-submission format (evaluator.py:12-18) plus the full scored
+    beam, and prints per-split scores (VERDICT r2: wire beam search into
+    the CLI)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.update({"JAX_PLATFORMS": "cpu",
+                "XLA_FLAGS": "--xla_force_host_platform_device_count=1"})
+    cmd = [
+        sys.executable, "main.py",
+        "--config-file", "configs/follower/follower_config.yaml",
+        "--seed", "7", "--beam", "2",
+        "TPU.SYNTHETIC_WORLD", "True",
+        "TPU.SYNTHETIC_SCANS", "2",
+        "TPU.SYNTHETIC_NODES", "24",
+        "TPU.SYNTHETIC_VAL_PATHS", "4",
+        "TPU.SYNTHETIC_TRAIN_PATHS", "12",
+        "TPU.COMPILATION_CACHE", os.path.join(repo, ".jax_cache"),
+        "TRAIN.BATCH_SIZE", "4",
+        "AGENT.MAX_EPISODE_LEN", "6",
+        "DATA.MAX_ENC_LEN", "24",
+        "MODEL.FOLLOWER.WORD_EMB_SIZE", "32",
+        "MODEL.FOLLOWER.HIDDEN_SIZE", "64",
+        "MODEL.FOLLOWER.ENC_LAYERS", "1",
+        "AIDE.SPEAKER.RNN_DIM", "64",
+        "AIDE.SPEAKER.WEMB", "32",
+        "AIDE.SPEAKER.MAX_DECODE", "12",
+        "OUTPUT.CKPT_DIR", str(tmp_path / "ckpt"),
+        "OUTPUT.RESULT_DIR", str(tmp_path / "results"),
+        "OUTPUT.LOG_DIR", str(tmp_path / "logs"),
+    ]
+    proc = subprocess.run(cmd, cwd=repo, env=env, capture_output=True,
+                          text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-3000:] + proc.stdout[-2000:]
+    assert "beam(2) val_unseen: SR=" in proc.stdout
+
+    for split in ("val_seen", "val_unseen"):
+        with open(tmp_path / "results" / f"beam_{split}.json") as f:
+            selected = json.load(f)
+        # 4 paths x 3 instructions, reference submission format
+        assert len(selected) == 12
+        for r in selected:
+            assert set(r) == {"instr_id", "trajectory"}
+            vp, h, e = r["trajectory"][0]
+            assert isinstance(vp, str)
+        with open(tmp_path / "results" / f"beam_{split}_full.json") as f:
+            full = json.load(f)
+        assert all(p["listener_scores"] and p["speaker_scores"]
+                   for r in full for p in r["paths"])

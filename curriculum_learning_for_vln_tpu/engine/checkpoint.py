@@ -16,7 +16,8 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Any, Optional
+import threading
+from typing import Any, Callable, Optional, Sequence
 
 import jax
 import numpy as np
@@ -24,6 +25,38 @@ import numpy as np
 
 def _to_numpy(tree: Any) -> Any:
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+# --- async writer (TPU.CKPT_ASYNC) -----------------------------------------
+# One background worker serializes+renames while the next epoch trains.  The
+# device->host snapshot (_to_numpy) always happens on the CALLER's thread, so
+# the written state is exactly the state at call time; ordering between
+# rotation deletes and writes is preserved by routing both through the same
+# single-worker queue (pre_tasks).
+_ASYNC_LOCK = threading.Lock()
+_ASYNC_EXEC = None
+_PENDING: list = []
+
+
+def _executor():
+    global _ASYNC_EXEC
+    with _ASYNC_LOCK:
+        if _ASYNC_EXEC is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            _ASYNC_EXEC = ThreadPoolExecutor(max_workers=1,
+                                             thread_name_prefix="ckpt-writer")
+        return _ASYNC_EXEC
+
+
+def wait_for_checkpoints() -> None:
+    """Block until every async checkpoint write has finished; re-raises the
+    first writer exception.  Call at end of training (and before reading a
+    checkpoint another thread may still be writing)."""
+    with _ASYNC_LOCK:
+        pending, _PENDING[:] = _PENDING[:], []
+    for fut in pending:
+        fut.result()
 
 
 def save_checkpoint(
@@ -36,6 +69,8 @@ def save_checkpoint(
     curriculum: Any = None,
     cfg_yaml: Optional[str] = None,
     backend: str = "pickle",
+    async_write: bool = False,
+    pre_tasks: Sequence[Callable[[], None]] = (),
     **extra,
 ) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -49,17 +84,28 @@ def save_checkpoint(
         "cfg_yaml": cfg_yaml,
         "extra": _to_numpy(extra) if extra else {},
     }
-    if backend == "orbax":
-        _save_orbax(path, bundle)
-        return
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        pickle.dump(bundle, f, protocol=pickle.HIGHEST_PROTOCOL)
-    if os.path.isdir(path):  # a previous run used the orbax (directory) format
-        import shutil
 
-        shutil.rmtree(path)
-    os.replace(tmp, path)
+    def _write():
+        for task in pre_tasks:  # e.g. best-SR rotation clean_dir
+            task()
+        if backend == "orbax":
+            _save_orbax(path, bundle)
+            return
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(bundle, f, protocol=pickle.HIGHEST_PROTOCOL)
+        if os.path.isdir(path):  # a previous run used the orbax (directory) format
+            import shutil
+
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+
+    if async_write:
+        fut = _executor().submit(_write)
+        with _ASYNC_LOCK:
+            _PENDING.append(fut)
+        return
+    _write()
 
 
 def load_checkpoint(path: str) -> dict:

@@ -23,7 +23,7 @@ import numpy as np
 
 from ..parallel import mesh as M
 from ..utils.logging_utils import ScalarWriter, clean_dir, prettyprint
-from .checkpoint import load_checkpoint, save_checkpoint
+from .checkpoint import load_checkpoint, save_checkpoint, wait_for_checkpoints
 from .evaluator import Evaluation
 from .loop import (build_eval_rollout, build_scanned_train_step, build_train_step,
                    configure_tpu_runtime, make_optimizer, run_eval, stack_batches)
@@ -148,6 +148,7 @@ class ClassicTrainer:
               seed: int = 2020, max_iters_override: Optional[int] = None):
         configure_tpu_runtime(cfg)
         ckpt_backend = getattr(cfg.TPU, "CKPT_BACKEND", "pickle") if hasattr(cfg, "TPU") else "pickle"
+        ckpt_async = getattr(cfg.TPU, "CKPT_ASYNC", False) if hasattr(cfg, "TPU") else False
         first_env = self.select_env(train_env, cfg.TRAIN.START_EPOCH)
         if isinstance(first_env, dict):  # per-iteration curricula keep the round dict
             first_env = next(iter(first_env.values()))
@@ -326,24 +327,31 @@ class ClassicTrainer:
                         best_val[key]["success_rate"] = scores["success_rate"]
                         if is_main:
                             path = osp.join(output_ckpt_dir, f"best_{key}_SR:{scores['success_rate']:.4f}.ckpt")
-                            clean_dir(output_ckpt_dir, clean_key=f"best_{key}")
                             save_checkpoint(path, params, opt_state, model_state, rng, ep,
-                                            cfg_yaml=cfg.dump(), backend=ckpt_backend)
+                                            cfg_yaml=cfg.dump(), backend=ckpt_backend,
+                                            async_write=ckpt_async,
+                                            pre_tasks=(lambda d=output_ckpt_dir, k=f"best_{key}":
+                                                       clean_dir(d, clean_key=k),))
                             logger.info("Saved best %s SR=%.4f -> %s", key, scores["success_rate"], path)
                 if is_main:
                     prettyprint(summary)
 
             if is_main:
                 cur_state = self.curriculum_state()
-                clean_dir(output_ckpt_dir, clean_key="latest_ep")
                 save_checkpoint(osp.join(output_ckpt_dir, f"latest_ep{ep}.ckpt"),
                                 params, opt_state, model_state, rng, ep,
-                                curriculum=cur_state, cfg_yaml=cfg.dump(), backend=ckpt_backend)
+                                curriculum=cur_state, cfg_yaml=cfg.dump(), backend=ckpt_backend,
+                                async_write=ckpt_async,
+                                pre_tasks=(lambda d=output_ckpt_dir:
+                                           clean_dir(d, clean_key="latest_ep"),))
                 # stable "latest" for OUTPUT.RESUME=latest
                 save_checkpoint(osp.join(ckpt_root, "latest.ckpt"),
                                 params, opt_state, model_state, rng, ep,
-                                curriculum=cur_state, cfg_yaml=cfg.dump(), backend=ckpt_backend)
+                                curriculum=cur_state, cfg_yaml=cfg.dump(), backend=ckpt_backend,
+                                async_write=ckpt_async)
             last_time = time.time()
 
+        if ckpt_async:
+            wait_for_checkpoints()
         writer.close()
         return params, model_state, best_val

@@ -25,6 +25,7 @@ OVERRIDES = [
     "TRAIN.OPTIM", "sgd",
     "AGENT.MAX_EPISODE_LEN", "8",
     "AGENT.FEEDBACK", "teacher",
+    "TPU.CKPT_ASYNC", "True",
 ]
 
 
@@ -66,23 +67,26 @@ def _events(tmp_path, tag):
     return {(e["tag"], e["step"]): e["value"] for e in events}
 
 
-def test_two_process_cli_matches_single_process(tmp_path):
+@pytest.mark.parametrize("nproc", [2, 4])
+def test_multiprocess_cli_matches_single_process(tmp_path, nproc):
+    """nproc CPU processes x 2 virtual devices = 2*nproc-way DP through the
+    real CLI, with async checkpoint writes (TPU.CKPT_ASYNC) — metrics must
+    match a single-process run and only process 0 may write checkpoints."""
     port = _free_port()
-    # --- 2-process run: 2 procs x 2 virtual devices = 4-way DP ---
     procs = []
-    for pid in range(2):
+    for pid in range(nproc):
         procs.append(_run_cli(tmp_path, f"mh{pid}" if pid else "mh", {
             "VLN_COORDINATOR": f"127.0.0.1:{port}",
-            "VLN_NUM_PROCESSES": "2",
+            "VLN_NUM_PROCESSES": str(nproc),
             "VLN_PROCESS_ID": str(pid),
         }))
-    outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    outs = [p.communicate(timeout=1800)[0].decode() for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-3000:]
 
     # --- single-process run, same seed ---
     p1 = _run_cli(tmp_path, "sp", {}, devices_per_proc=2)
-    out1 = p1.communicate(timeout=900)[0].decode()
+    out1 = p1.communicate(timeout=1800)[0].decode()
     assert p1.returncode == 0, out1[-3000:]
 
     mh = _events(tmp_path, "mh")   # process 0 wrote the tsboard stream
@@ -91,6 +95,7 @@ def test_two_process_cli_matches_single_process(tmp_path):
     for key in sorted(sp):
         assert np.isclose(mh[key], sp[key], rtol=1e-4, atol=1e-4), (key, mh[key], sp[key])
 
-    # only process 0 wrote checkpoints (process 1 may mkdir, never write)
+    # only process 0 wrote checkpoints (others may mkdir, never write)
     assert os.path.exists(tmp_path / "mh" / "ckpt" / "latest.ckpt")
-    assert not os.path.exists(tmp_path / "mh1" / "ckpt" / "latest.ckpt")
+    for pid in range(1, nproc):
+        assert not os.path.exists(tmp_path / f"mh{pid}" / "ckpt" / "latest.ckpt")

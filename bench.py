@@ -175,14 +175,27 @@ def bench_device(world, henv, tok):
 
     n1, n2 = 4, 20
     t0 = time.time()
-    t_small = _timed_fetch(make_many_rollouts(n1), tables, params, ep, jax.random.PRNGKey(1))
-    t_big = _timed_fetch(make_many_rollouts(n2), tables, params, ep, jax.random.PRNGKey(1))
+    many_small, many_big = make_many_rollouts(n1), make_many_rollouts(n2)
+    t_small = _timed_fetch(many_small, tables, params, ep, jax.random.PRNGKey(1))
+    t_big = _timed_fetch(many_big, tables, params, ep, jax.random.PRNGKey(1))
     per_rollout = max((t_big - t_small) / (n2 - n1), 1e-9)
     rollout_sps = BATCH * EPISODE_LEN / per_rollout
     rollout_compile_s = time.time() - t0
     log(f"device rollout: {per_rollout*1000:.2f} ms / {BATCH}x{EPISODE_LEN} rollout "
         f"-> {rollout_sps:,.0f} steps/s  (setup+compile {rollout_compile_s:.1f}s; "
         f"persistent cache under .jax_cache makes warm starts ~free)")
+    # MFU/roofline vs v5e peaks from the analytic cost model (VERDICT r2
+    # item 7; XLA's cost_analysis counts scan bodies once, so it cannot
+    # price these programs — utils/roofline.py docstring)
+    from curriculum_learning_for_vln_tpu.utils.roofline import (
+        EnvDropShapes, roofline_summary, rollout_cost, train_iter_cost)
+
+    shapes = EnvDropShapes(B=BATCH, T=EPISODE_LEN, L=ENC_LEN, D=FEAT_DIM,
+                           H=HIDDEN, wb=2 if on_accel else 4,
+                           fb=2 if on_accel else 4)
+    rc = rollout_cost(shapes)
+    rollout_roofline = roofline_summary(rc.flops, rc.bytes, per_rollout, platform)
+    log(f"rollout roofline: {rollout_roofline}")
 
     # --- full training iteration, same methodology.  The IL rollout uses
     # the production episode-length bucket (TPU.IL_BUCKETS: these 4-7-hop
@@ -191,6 +204,7 @@ def bench_device(world, henv, tok):
     # -> 23.5 ms bucketed. ---
     train_sps = None
     per_iter = None
+    train_roofline = {}
     IL_LEN = 8
     if remaining() > 180:
         try:
@@ -237,18 +251,24 @@ def bench_device(world, henv, tok):
                 log(f"BENCH_MESH: data-parallel over {mesh_n} devices "
                     f"(global batch {BATCH})")
 
-            t_small = _timed_fetch(make_many_train(2), params, opt_state, jax.random.PRNGKey(2))
-            t_big = _timed_fetch(make_many_train(8), params, opt_state, jax.random.PRNGKey(2))
+            train_small, train_big = make_many_train(2), make_many_train(8)
+            t_small = _timed_fetch(train_small, params, opt_state, jax.random.PRNGKey(2))
+            t_big = _timed_fetch(train_big, params, opt_state, jax.random.PRNGKey(2))
             per_iter = max((t_big - t_small) / 6, 1e-9)
             # steps the reference would execute for the same iteration
             train_sps = BATCH * EPISODE_LEN * 2 / per_iter
             log(f"train iteration (IL[T={IL_LEN}]+RL[T={EPISODE_LEN}]+grads+update): "
                 f"{per_iter*1000:.2f} ms -> {train_sps:,.0f} rollout-steps/s")
+            tc = train_iter_cost(shapes, il_T=IL_LEN)
+            train_roofline = roofline_summary(tc["flops"], tc["bytes"],
+                                              per_iter, platform)
+            log(f"train roofline: {train_roofline}")
         except Exception as e:
             log(f"train-step measurement skipped: {e}")
     else:
         log(f"train-step measurement skipped ({remaining():.0f}s budget left)")
-    return rollout_sps, train_sps, per_iter, rollout_compile_s
+    return (rollout_sps, train_sps, per_iter, rollout_compile_s,
+            rollout_roofline, train_roofline)
 
 
 def bench_host_baseline(world, graphs, henv):
@@ -340,7 +360,8 @@ def main():
     except Exception as e:  # baseline must never sink the benchmark
         log(f"baseline failed: {e}")
         baseline_sps = None
-    rollout_sps, train_sps, per_iter, compile_s = bench_device(world, henv, tok)
+    (rollout_sps, train_sps, per_iter, compile_s,
+     rollout_roofline, train_roofline) = bench_device(world, henv, tok)
 
     vs = (rollout_sps / baseline_sps) if baseline_sps else None
     print(json.dumps({
@@ -351,6 +372,8 @@ def main():
         "detail": {
             "train_steps_per_sec_incl_grads": round(train_sps, 1) if train_sps else None,
             "train_iter_ms": round(per_iter * 1000, 2) if per_iter else None,
+            "rollout_roofline": rollout_roofline or None,
+            "train_roofline": train_roofline or None,
             "il_bucketed": True,
             "host_loop_baseline_steps_per_sec": round(baseline_sps, 1) if baseline_sps else None,
             "batch": BATCH, "episode_len": EPISODE_LEN,

@@ -128,12 +128,15 @@ class EnvDropAgent:
                     world.features, world.loc_embed, tv,
                     jax.random.fold_in(rng_t, 1),
                 )
-                cand = E2.assemble_cand_feat(cand_img, obs.cand_angle, obs.cand_valid)
-                cand = D.drop_feat_img(cand, jax.random.fold_in(rng_t, 2),
-                                       fdrop, train, self.angle_feat_size)
+                # fused candidate scoring: assemble + env-dropout + scorer
+                # einsum in one kernel; no [B, K, F] tensor or mask is ever
+                # materialized (ops/pallas/cand_score.py)
+                scorer = lambda q: fused_obs.cand_attend_logits(
+                    (fdrop, train), cand_img, obs.cand_angle, obs.cand_valid,
+                    q, jax.random.fold_in(rng_t, 2))
                 logits, (h1, c1), h_tilde_new = D.envdrop_decoder_from_vis(
-                    params["decoder"], a_t_angle, vis, cand, h_tilde, c,
-                    ctx, ctx_mask, rng_t, train, drop,
+                    params["decoder"], a_t_angle, vis, None, h_tilde, c,
+                    ctx, ctx_mask, rng_t, train, drop, cand_scorer=scorer,
                 )
                 return logits, (h1, c1, h_tilde_new), h1
             pano, cand = obs.pano_feat, obs.cand_feat

@@ -207,7 +207,7 @@ def envdrop_decoder_from_vis(
     p: dict,
     a_t_angle: jnp.ndarray,      # [B, 128]
     visual_feat: jnp.ndarray,    # [B, F] attention-weighted panorama
-    cand_feat: jnp.ndarray,      # [B, K, F] (image dims already dropped)
+    cand_feat: Optional[jnp.ndarray],  # [B, K, F] (image dims already dropped)
     h_tilde_prev: jnp.ndarray,
     c: jnp.ndarray,
     ctx: jnp.ndarray,
@@ -215,11 +215,15 @@ def envdrop_decoder_from_vis(
     rng,
     train: bool,
     drop_rate: float = 0.5,
+    cand_scorer=None,
 ):
     """The decoder step after visual attention: action embedding, LSTM,
     text attention, candidate scoring.  Shared by the reference-shaped
     ``envdrop_decoder_step`` and the fused-observation path (same fold_in
-    indices, so both produce identical dropout masks)."""
+    indices, so both produce identical dropout masks).  With
+    ``cand_scorer`` the candidate logits come from
+    cand_scorer(projected_query) — the fused candidate kernel path
+    (ops/fused_obs.py cand_attend_logits) — and ``cand_feat`` is unused."""
     act_emb = dropout(jax.random.fold_in(rng, 0), jnp.tanh(dense(p["act_embed"], a_t_angle)),
                       drop_rate, deterministic=not train)
 
@@ -231,7 +235,11 @@ def envdrop_decoder_from_vis(
     h_tilde, alpha_c = soft_dot(p["text_attn"], h1_drop, ctx, ctx_mask)
 
     h_tilde_drop = dropout(jax.random.fold_in(rng, 5), h_tilde, drop_rate, deterministic=not train)
-    logits = jnp.einsum("bkf,bf->bk", cand_feat, dense(p["cand_attn"], h_tilde_drop))
+    q = dense(p["cand_attn"], h_tilde_drop)
+    if cand_scorer is not None:
+        logits = cand_scorer(q)
+    else:
+        logits = jnp.einsum("bkf,bf->bk", cand_feat, q)
 
     return logits, (h1, c1), h_tilde
 

@@ -162,3 +162,91 @@ def _bwd(cfg, res, g):
 
 
 pano_attend_cands.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused candidate scoring (the decoder tail's candidate path)
+# ---------------------------------------------------------------------------
+
+def _cand_xla(cfg, cand_img, cand_angle, cand_valid, q, key):
+    """Exact current XLA chain: assemble + drop_feat_img + scorer einsum
+    (env/env.py assemble_cand_feat, models/decoders.py drop_feat_img,
+    ref: base.py:149-157 + policy.py:226-232,244-246)."""
+    from ..env.env import assemble_cand_feat
+    from ..models.decoders import drop_feat_img
+
+    fdrop, train = cfg[0], cfg[1]
+    A = cand_angle.shape[-1]
+    cand = assemble_cand_feat(cand_img, cand_angle, cand_valid)
+    cand = drop_feat_img(cand, key, fdrop, train, A)
+    return jnp.einsum("bkf,bf->bk", cand, q)
+
+
+def _cand_pallas(cfg, cand_img, cand_angle, cand_valid, q, key):
+    from .pallas.cand_score import cand_score_fwd_pallas
+
+    fdrop, train = cfg[0], cfg[1]
+    D = cand_img.shape[-1]
+    interpret = jax.default_backend() != "tpu"
+    mask = seeds = None
+    if train and fdrop > 0.0:
+        if _BACKEND == "pallas_prng":
+            seeds = _mask_seeds(key, cand_img.shape[0])
+        else:
+            # same bits as drop_feat_img's [B, K+1, D] draw, real slots
+            mask = make_keep_mask(
+                key, (cand_img.shape[0], cand_img.shape[1] + 1, D), fdrop
+            )[:, :-1]
+    return cand_score_fwd_pallas(cand_img, cand_angle, cand_valid,
+                                 q[:, :D], q[:, D:], mask=mask, seeds=seeds,
+                                 keep=1.0 - fdrop, interpret=interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def cand_attend_logits(cfg, cand_img, cand_angle, cand_valid, q, key):
+    """Candidate logits [B, MC+1] (STOP slot zero) from raw candidate view
+    rows + angle feats and the projected query ``q`` [B, F].  One fused
+    kernel replaces the assembled [B, K+1, F] tensor, its same-shaped
+    env-dropout mask, the dropped copy, the scorer einsum, AND the scan
+    residual of the dropped tensor (the backward regenerates the mask).
+    Differentiable in ``q`` only — candidate rows come from the frozen
+    world tables.  ``key`` is the decoder's fold_in(rng, 2) cand-dropout
+    key."""
+    impl = _cand_pallas if _BACKEND.startswith("pallas") else _cand_xla
+    return impl(cfg, cand_img, cand_angle, cand_valid, q, key)
+
+
+def _cand_fwd(cfg, cand_img, cand_angle, cand_valid, q, key):
+    out = cand_attend_logits(cfg, cand_img, cand_angle, cand_valid, q, key)
+    return out, (cand_img, cand_angle, cand_valid, key)
+
+
+def _cand_bwd(cfg, res, g):
+    cand_img, cand_angle, cand_valid, key = res
+    fdrop, train = cfg[0], cfg[1]
+    D = cand_img.shape[-1]
+    if _BACKEND.startswith("pallas"):
+        from .pallas.cand_score import cand_score_bwd_pallas
+
+        interpret = jax.default_backend() != "tpu"
+        mask = seeds = None
+        if train and fdrop > 0.0:
+            if _BACKEND == "pallas_prng":
+                seeds = _mask_seeds(key, cand_img.shape[0])
+            else:
+                mask = make_keep_mask(
+                    key, (cand_img.shape[0], cand_img.shape[1] + 1, D), fdrop
+                )[:, :-1]
+        dqi, dqa = cand_score_bwd_pallas(cand_img, cand_angle, cand_valid, g,
+                                         mask=mask, seeds=seeds,
+                                         keep=1.0 - fdrop, interpret=interpret)
+        d_q = jnp.concatenate([dqi, dqa], axis=-1)
+    else:
+        _, vjp = jax.vjp(
+            lambda q_: _cand_xla(cfg, cand_img, cand_angle, cand_valid, q_, key),
+            jnp.zeros((cand_img.shape[0], D + cand_angle.shape[-1]), jnp.float32))
+        (d_q,) = vjp(g)
+    return (None, None, None, d_q, None)
+
+
+cand_attend_logits.defvjp(_cand_fwd, _cand_bwd)

@@ -296,3 +296,70 @@ def test_monitor_parity_with_fused_obs(ctx, tokenizer):
     for (kp, a), b in zip(flat0, flat1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4,
                                    atol=5e-5, err_msg=jax.tree_util.keystr(kp))
+
+
+def test_cand_score_op_matches_xla(ctx):
+    """Fused candidate-scorer kernel (ops/pallas/cand_score.py): fwd + d_q
+    parity vs the plain assemble+drop+einsum chain (ext-mask mode draws
+    the same bits)."""
+    tables, henv = ctx
+    B, MC, D = 6, tables.cand_view.shape[1], FEAT_DIM
+    ks = jax.random.split(jax.random.PRNGKey(3), 5)
+    cand_img = jax.random.normal(ks[0], (B, MC, D))
+    cand_angle = jax.random.normal(ks[1], (B, MC, 128))
+    cand_valid = jax.random.bernoulli(ks[2], 0.7, (B, MC))
+    q = jax.random.normal(ks[3], (B, D + 128))
+    key = jax.random.PRNGKey(11)
+    cfg = (0.3, True)
+
+    def run(q_):
+        return fused_obs.cand_attend_logits(cfg, cand_img, cand_angle,
+                                            cand_valid, q_, key)
+
+    fused_obs.set_backend("xla")
+    try:
+        out_x = run(q)
+        _, vjp_x = jax.vjp(run, q)
+        g = jax.random.normal(ks[4], out_x.shape)
+        (dq_x,) = vjp_x(g)
+        fused_obs.set_backend("pallas")
+        out_p = run(q)
+        _, vjp_p = jax.vjp(run, q)
+        (dq_p,) = vjp_p(g)
+    finally:
+        fused_obs.set_backend("xla")
+
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dq_p), np.asarray(dq_x),
+                               rtol=2e-4, atol=2e-4)
+    # STOP slot logit is exactly zero (zero feature row, base.py:149-157)
+    assert np.all(np.asarray(out_p)[:, -1] == 0.0)
+
+
+def test_cand_score_prng_fwd_bwd_consistent(ctx):
+    """In prng mode the backward must regenerate the forward's exact mask:
+    the op is linear in q, so <d_q, v> == <g, fwd(v)> for any v."""
+    tables, henv = ctx
+    B, MC, D = 6, tables.cand_view.shape[1], FEAT_DIM
+    ks = jax.random.split(jax.random.PRNGKey(5), 6)
+    cand_img = jax.random.normal(ks[0], (B, MC, D))
+    cand_angle = jax.random.normal(ks[1], (B, MC, 128))
+    cand_valid = jax.random.bernoulli(ks[2], 0.7, (B, MC))
+    key = jax.random.PRNGKey(13)
+    cfg = (0.4, True)
+
+    fused_obs.set_backend("pallas_prng")
+    try:
+        run = lambda q_: fused_obs.cand_attend_logits(
+            cfg, cand_img, cand_angle, cand_valid, q_, key)
+        q = jax.random.normal(ks[3], (B, D + 128))
+        v = jax.random.normal(ks[4], (B, D + 128))
+        g = jax.random.normal(ks[5], (B, MC + 1))
+        _, vjp = jax.vjp(run, q)
+        (dq,) = vjp(g)
+        lhs = float(jnp.sum(dq * v))
+        rhs = float(jnp.sum(g * run(v)))
+    finally:
+        fused_obs.set_backend("xla")
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-3)

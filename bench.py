@@ -173,12 +173,23 @@ def bench_device(world, henv, tok):
             return out
         return many
 
-    n1, n2 = 4, 20
+    # RTT/dispatch baseline: a trivial jitted fetch (compiles in ~1s).
+    # Subtracting it replaces the old two-scan-length differencing with
+    # HALF the number of full-program compiles (VERDICT r2 item 8: cold
+    # compile) at the same relay-RTT cancellation: t(program) = dispatch
+    # + fetch + device_time; the trivial program measures dispatch+fetch.
+    @jax.jit
+    def trivial(x):
+        return jnp.sum(x) * 1.000001
+
+    t_rtt = _timed_fetch(trivial, jnp.ones((8,), jnp.float32))
+    log(f"dispatch+fetch baseline: {t_rtt*1000:.1f} ms")
+
+    n2 = 20
     t0 = time.time()
-    many_small, many_big = make_many_rollouts(n1), make_many_rollouts(n2)
-    t_small = _timed_fetch(many_small, tables, params, ep, jax.random.PRNGKey(1))
+    many_big = make_many_rollouts(n2)
     t_big = _timed_fetch(many_big, tables, params, ep, jax.random.PRNGKey(1))
-    per_rollout = max((t_big - t_small) / (n2 - n1), 1e-9)
+    per_rollout = max((t_big - t_rtt) / n2, 1e-9)
     rollout_sps = BATCH * EPISODE_LEN / per_rollout
     rollout_compile_s = time.time() - t0
     log(f"device rollout: {per_rollout*1000:.2f} ms / {BATCH}x{EPISODE_LEN} rollout "
@@ -205,6 +216,7 @@ def bench_device(world, henv, tok):
     train_sps = None
     per_iter = None
     train_roofline = {}
+    train_compile_s = None
     IL_LEN = 8
     if remaining() > 180:
         try:
@@ -251,10 +263,13 @@ def bench_device(world, henv, tok):
                 log(f"BENCH_MESH: data-parallel over {mesh_n} devices "
                     f"(global batch {BATCH})")
 
-            train_small, train_big = make_many_train(2), make_many_train(8)
-            t_small = _timed_fetch(train_small, params, opt_state, jax.random.PRNGKey(2))
+            t0_train = time.time()
+            train_big = make_many_train(8)
             t_big = _timed_fetch(train_big, params, opt_state, jax.random.PRNGKey(2))
-            per_iter = max((t_big - t_small) / 6, 1e-9)
+            train_compile_s = time.time() - t0_train - 3 * t_big
+            t_big = min(t_big, _timed_fetch(train_big, params, opt_state,
+                                            jax.random.PRNGKey(2)))
+            per_iter = max((t_big - t_rtt) / 8, 1e-9)
             # steps the reference would execute for the same iteration
             train_sps = BATCH * EPISODE_LEN * 2 / per_iter
             log(f"train iteration (IL[T={IL_LEN}]+RL[T={EPISODE_LEN}]+grads+update): "
@@ -268,7 +283,7 @@ def bench_device(world, henv, tok):
     else:
         log(f"train-step measurement skipped ({remaining():.0f}s budget left)")
     return (rollout_sps, train_sps, per_iter, rollout_compile_s,
-            rollout_roofline, train_roofline)
+            rollout_roofline, train_roofline, train_compile_s)
 
 
 def bench_host_baseline(world, graphs, henv):
@@ -361,7 +376,7 @@ def main():
         log(f"baseline failed: {e}")
         baseline_sps = None
     (rollout_sps, train_sps, per_iter, compile_s,
-     rollout_roofline, train_roofline) = bench_device(world, henv, tok)
+     rollout_roofline, train_roofline, train_compile_s) = bench_device(world, henv, tok)
 
     vs = (rollout_sps / baseline_sps) if baseline_sps else None
     print(json.dumps({
@@ -378,6 +393,7 @@ def main():
             "host_loop_baseline_steps_per_sec": round(baseline_sps, 1) if baseline_sps else None,
             "batch": BATCH, "episode_len": EPISODE_LEN,
             "setup_compile_s": round(compile_s, 1),
+            "train_compile_s": round(train_compile_s, 1) if train_compile_s else None,
             "timing": "inner-scan differencing with host fetch (relay-RTT cancelled)",
             "baseline_scope": "env-architecture comparison (zero-cost model in the "
                               "host loop); NOT an end-to-end reference-training ratio",

@@ -1,0 +1,113 @@
+"""Cold-compile audit: AOT-compile each production jitted variant against
+a fresh compilation-cache dir and report per-variant compile seconds
+(VERDICT r2 item 8 — which of the several jitted programs dominates the
+cold start, and what the floor is).
+
+Run on the real chip:  python scripts/compile_audit.py [--cache /tmp/cc]
+Pass --warm to reuse the repo's .jax_cache instead (warm-start check).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cache", default="")
+    ap.add_argument("--warm", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    if args.warm:
+        cache = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache")
+    else:
+        cache = args.cache or tempfile.mkdtemp(prefix="cc_audit_")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    print(f"cache dir: {cache} ({'warm' if args.warm else 'fresh'})",
+          file=sys.stderr)
+
+    from curriculum_learning_for_vln_tpu.agents import EnvDropAgent
+    from curriculum_learning_for_vln_tpu.data.datasets import expand_r2r_items
+    from curriculum_learning_for_vln_tpu.engine.loop import (
+        build_eval_rollout, build_scanned_train_step, build_train_step,
+        make_optimizer, stack_batches)
+    from curriculum_learning_for_vln_tpu.env.host_env import R2RBatchEnv
+    from curriculum_learning_for_vln_tpu.utils.config import get_cfg_defaults
+    from curriculum_learning_for_vln_tpu.utils.tokenizer import (Tokenizer,
+                                                                 build_vocab)
+    from curriculum_learning_for_vln_tpu.world import compiler, synthetic
+
+    graphs = synthetic.make_world_graphs(12, 64, seed=0)
+    world = compiler.compile_world(graphs, max_candidates=16)
+    compiler.attach_synthetic_features(world, feature_dim=2048)
+    items = synthetic.make_r2r_dataset(graphs, num_paths=256, seed=1,
+                                       min_hops=4, max_hops=7)
+    tok = Tokenizer(build_vocab(items, min_count=1), encoding_length=80)
+    data = expand_r2r_items(items, tok)
+    henv = R2RBatchEnv(world, data, batch_size=64, tokenizer=tok, seed=0)
+
+    platform = jax.devices()[0].platform
+    if platform == "tpu":
+        from curriculum_learning_for_vln_tpu.ops import fused_obs, rnn
+        rnn.set_backend("pallas")
+        fused_obs.set_backend("pallas_prng")
+    tables = world.device_tables("bf16" if platform != "cpu" else "f32")
+
+    cfg = get_cfg_defaults()
+    m = cfg.MODEL.ENVDROP
+    m.WORD_EMB_SIZE, m.ACT_EMB_SIZE, m.HIDDEN_SIZE = 256, 64, 512
+    agent = EnvDropAgent(m, max_enc_len=80, vocab_size=tok.vocab_size(),
+                         feat_dim=2048, episode_len=35)
+    if platform != "cpu":
+        agent.compute_dtype = jnp.bfloat16
+    params, mstate = agent.init(jax.random.PRNGKey(0))
+    opt = make_optimizer("rms", 1e-4)
+    opt_state = opt.init(params)
+    ep = henv.next_batch()
+    rng = jax.random.PRNGKey(1)
+    w = jnp.ones((64,), jnp.float32)
+
+    total = 0.0
+
+    def audit(name, jit_fn, *a, **kw):
+        nonlocal total
+        t0 = time.time()
+        jit_fn.lower(*a, **kw).compile()
+        dt = time.time() - t0
+        total += dt
+        print(f"{dt:8.1f} s  {name}", flush=True)
+
+    eval_roll = build_eval_rollout(agent)
+    audit("eval_rollout", eval_roll, tables, params, mstate, ep, rng)
+
+    step = build_train_step(agent, opt, "sample")
+    for il in (8, 16, None):
+        audit(f"train_step il_len={il}", step, tables, params, opt_state,
+              mstate, ep, rng, il_len=il)
+
+    wstep = build_train_step(agent, opt, "sample", weighted=True)
+    audit("train_step weighted il=8", wstep, tables, params, opt_state,
+          mstate, ep, rng, w, il_len=8)
+
+    K = 4
+    eps = stack_batches([henv.next_batch() for _ in range(K)])
+    rngs = jax.random.split(rng, K)
+    sstep = build_scanned_train_step(agent, opt, "sample")
+    audit(f"scanned_train_step K={K} il=8", sstep, tables, params, opt_state,
+          mstate, eps, rngs, il_len=8)
+
+    print(f"{total:8.1f} s  TOTAL", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -43,7 +43,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-G = 8  # samples per grid step (B is padded to a multiple of G)
+import os as _os
+
+G = int(_os.environ.get("VLN_PANO_G", "8"))  # samples per grid step (B is
+# padded to a multiple of G).  8 measured best vs 4 in round 2; 16 is the
+# next candidate (fewer grid steps, deeper DMA overlap) — env-overridable
+# for A/B without a code edit.
 
 
 def _dropped(fg, mask_g, keep: float):

@@ -27,13 +27,20 @@ def _load_matrix():
 
 @pytest.mark.skipif(not RUN, reason="statistical parity harness is slow; RUN_SLOW=1 enables")
 def test_paper_orderings_on_grounded_world():
+    """Schedule-COMPLETE budget (VERDICT r2 item 1): 120 epochs with the
+    reference's 20-epoch naive round schedule (curriculum.py:176-179), so
+    naive CL sees all 5 rounds with 40 epochs in round 5.  The 3-seed
+    matrix at this budget (BASELINE.md round-3 section) reads ENVDROP
+    classic 0.380 < naive 0.392 < SPCL 0.417; this single-seed re-run
+    asserts the same orderings."""
     pm = _load_matrix()
-    epochs, seed = 50, 1000
+    epochs, seed, switch = 120, 1000, 20
     sr = {}
     with tempfile.TemporaryDirectory() as tmp:
         for model in ("FOLLOWER", "ENVDROP"):
             for clmode in ("", "NAIVE", "SELF-PACE"):
-                sr[(model, clmode)] = pm.run_one(model, clmode, seed, epochs, tmp)
+                sr[(model, clmode)] = pm.run_one(model, clmode, seed, epochs,
+                                                 tmp, switch_epoch=switch)
 
     # EnvDrop >= Follower (paper Table 3 model ordering)
     assert sr[("ENVDROP", "")] > sr[("FOLLOWER", "")], sr

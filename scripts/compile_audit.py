@@ -3,6 +3,19 @@ a fresh compilation-cache dir and report per-variant compile seconds
 (VERDICT r2 item 8 — which of the several jitted programs dominates the
 cold start, and what the floor is).
 
+IMPORTANT caveat, measured on the axon relay (round 3): through the
+remote-TPU relay, ``.lower().compile()`` is effectively a CLIENT-side
+stub (~8 s for the full train step) — the real Mosaic/XLA compile runs
+SERVER-side at first execution (~153 s for the same program, measured by
+timing first-execution fetch).  Two consequences: (1) the numbers this
+script prints are client-side lowering costs only — pass --execute for
+true end-to-end first-run costs (slow: ~150 s per big variant); (2) the
+client persistent compilation cache cannot help cold starts through the
+relay, so the only real cold-start lever is compiling FEWER distinct big
+programs — which is why bench.py now times with one full program per
+phase (trivial-dispatch RTT baseline) instead of two scan lengths:
+setup went 784 s (round 2) -> ~380 s.
+
 Run on the real chip:  python scripts/compile_audit.py [--cache /tmp/cc]
 Pass --warm to reuse the repo's .jax_cache instead (warm-start check).
 """
@@ -21,6 +34,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cache", default="")
     ap.add_argument("--warm", action="store_true")
+    ap.add_argument("--execute", action="store_true",
+                    help="run each variant once and include the (server-side) "
+                         "first-execution compile in the timing")
     args = ap.parse_args()
 
     import jax
@@ -82,7 +98,12 @@ def main():
     def audit(name, jit_fn, *a, **kw):
         nonlocal total
         t0 = time.time()
-        jit_fn.lower(*a, **kw).compile()
+        compiled = jit_fn.lower(*a, **kw).compile()
+        if args.execute:
+            out = compiled(*a)  # static argnames are baked into the lowering
+            jax.tree_util.tree_leaves(out)[0].block_until_ready()
+            # force completion through the relay with a real fetch
+            _ = jax.device_get(jax.tree_util.tree_leaves(out)[-1])
         dt = time.time() - t0
         total += dt
         print(f"{dt:8.1f} s  {name}", flush=True)

@@ -49,10 +49,12 @@ _BACKEND = "xla"
 
 def set_backend(name: str) -> None:
     """"xla" | "pallas" (external mask, bit-identical to xla) |
-    "pallas_prng" (in-kernel hardware-PRNG mask — fastest; the mask
-    realization differs from the xla path but fwd/bwd stay consistent)."""
+    "pallas_prng" (in-kernel hardware-PRNG mask — fast; the mask
+    realization differs from the xla path but fwd/bwd stay consistent) |
+    "pallas_prng_shared" (one mask per kernel grid-step group, the
+    reference's batch-shared back-translation semantics — cheapest)."""
     global _BACKEND
-    assert name in ("xla", "pallas", "pallas_prng"), name
+    assert name in ("xla", "pallas", "pallas_prng", "pallas_prng_shared"), name
     _BACKEND = name
 
 
@@ -99,13 +101,14 @@ def _pallas(cfg, node, view, c_view, features, loc_embed, tv, key):
     interpret = jax.default_backend() != "tpu"
     mask = seeds = None
     if train and fdrop > 0.0:
-        if _BACKEND == "pallas_prng":
+        if _BACKEND.startswith("pallas_prng"):
             seeds = _mask_seeds(key, node.shape[0])
         else:
             mask = make_keep_mask(key, node.shape + (36, D), fdrop)
     oi, oa, alpha, cand = pano_attend_fwd_pallas(
         node, view, c_view, features, loc_embed, tv[:, :D], tv[:, D:],
-        mask=mask, seeds=seeds, keep=1.0 - fdrop, interpret=interpret)
+        mask=mask, seeds=seeds, keep=1.0 - fdrop, interpret=interpret,
+        shared_prng=_BACKEND == "pallas_prng_shared")
     return jnp.concatenate([oi, oa], axis=-1), alpha, cand
 
 
@@ -144,14 +147,15 @@ def _bwd(cfg, res, g):
         interpret = jax.default_backend() != "tpu"
         mask = seeds = None
         if train and fdrop > 0.0:
-            if _BACKEND == "pallas_prng":
+            if _BACKEND.startswith("pallas_prng"):
                 seeds = _mask_seeds(key, node.shape[0])
             else:
                 mask = make_keep_mask(key, node.shape + (36, D), fdrop)
         di, da, _ = pano_attend_bwd_pallas(
             node, view, c_view, features, loc_embed, alpha,
             g_vis[:, :D], g_vis[:, D:], mask=mask, seeds=seeds,
-            keep=1.0 - fdrop, interpret=interpret)
+            keep=1.0 - fdrop, interpret=interpret,
+            shared_prng=_BACKEND == "pallas_prng_shared")
         d_tv = jnp.concatenate([di, da], axis=-1)
     else:
         _, vjp = jax.vjp(
@@ -190,7 +194,7 @@ def _cand_pallas(cfg, cand_img, cand_angle, cand_valid, q, key):
     interpret = jax.default_backend() != "tpu"
     mask = seeds = None
     if train and fdrop > 0.0:
-        if _BACKEND == "pallas_prng":
+        if _BACKEND.startswith("pallas_prng"):
             seeds = _mask_seeds(key, cand_img.shape[0])
         else:
             # same bits as drop_feat_img's [B, K+1, D] draw, real slots
@@ -199,7 +203,8 @@ def _cand_pallas(cfg, cand_img, cand_angle, cand_valid, q, key):
             )[:, :-1]
     return cand_score_fwd_pallas(cand_img, cand_angle, cand_valid,
                                  q[:, :D], q[:, D:], mask=mask, seeds=seeds,
-                                 keep=1.0 - fdrop, interpret=interpret)
+                                 keep=1.0 - fdrop, interpret=interpret,
+                                 shared_prng=_BACKEND == "pallas_prng_shared")
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -231,7 +236,7 @@ def _cand_bwd(cfg, res, g):
         interpret = jax.default_backend() != "tpu"
         mask = seeds = None
         if train and fdrop > 0.0:
-            if _BACKEND == "pallas_prng":
+            if _BACKEND.startswith("pallas_prng"):
                 seeds = _mask_seeds(key, cand_img.shape[0])
             else:
                 mask = make_keep_mask(
@@ -239,7 +244,8 @@ def _cand_bwd(cfg, res, g):
                 )[:, :-1]
         dqi, dqa = cand_score_bwd_pallas(cand_img, cand_angle, cand_valid, g,
                                          mask=mask, seeds=seeds,
-                                         keep=1.0 - fdrop, interpret=interpret)
+                                         keep=1.0 - fdrop, interpret=interpret,
+                                         shared_prng=_BACKEND == "pallas_prng_shared")
         d_q = jnp.concatenate([dqi, dqa], axis=-1)
     else:
         _, vjp = jax.vjp(

@@ -39,11 +39,13 @@ G = 8  # samples per grid step (B padded to a multiple of G)
 def _keep_mask(mask_mode, keep, mask_ref, seeds_sp, i, shape):
     if mask_mode == "ext":
         return mask_ref[:]
-    if mask_mode == "prng":
+    if mask_mode.startswith("prng"):
         pltpu.prng_seed(seeds_sp[i * G])
-        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        draw = shape[1:] if mask_mode == "prng_shared" else shape
+        bits = pltpu.bitcast(pltpu.prng_random_bits(draw), jnp.uint32)
         thr = min(int(keep * 4294967296.0), 4294967295)
-        return bits < jnp.uint32(thr)
+        m = bits < jnp.uint32(thr)
+        return m[None] if mask_mode == "prng_shared" else m
     return None
 
 
@@ -107,15 +109,16 @@ def _specs(MC, D, A, K1, mask_mode, bwd: bool):
     return ins
 
 
-@functools.partial(jax.jit, static_argnames=("keep", "interpret"))
+@functools.partial(jax.jit, static_argnames=("keep", "interpret", "shared_prng"))
 def cand_score_fwd_pallas(cand_img, cand_angle, cand_valid, q_img, q_ang,
                           mask=None, seeds=None, keep: float = 1.0,
-                          interpret: bool = False):
+                          interpret: bool = False, shared_prng: bool = False):
     B, MC, D = cand_img.shape
     A = cand_angle.shape[-1]
     K1 = MC + 1
     Bp = ((B + G - 1) // G) * G
-    mask_mode = "ext" if mask is not None else ("prng" if seeds is not None else "none")
+    mask_mode = "ext" if mask is not None else (
+        ("prng_shared" if shared_prng else "prng") if seeds is not None else "none")
 
     img = _pad_b(cand_img, Bp)
     ang = _pad_b(cand_angle.astype(cand_img.dtype), Bp)
@@ -144,15 +147,16 @@ def cand_score_fwd_pallas(cand_img, cand_angle, cand_valid, q_img, q_ang,
     return logits[:B]
 
 
-@functools.partial(jax.jit, static_argnames=("keep", "interpret"))
+@functools.partial(jax.jit, static_argnames=("keep", "interpret", "shared_prng"))
 def cand_score_bwd_pallas(cand_img, cand_angle, cand_valid, d_logits,
                           mask=None, seeds=None, keep: float = 1.0,
-                          interpret: bool = False):
+                          interpret: bool = False, shared_prng: bool = False):
     B, MC, D = cand_img.shape
     A = cand_angle.shape[-1]
     K1 = MC + 1
     Bp = ((B + G - 1) // G) * G
-    mask_mode = "ext" if mask is not None else ("prng" if seeds is not None else "none")
+    mask_mode = "ext" if mask is not None else (
+        ("prng_shared" if shared_prng else "prng") if seeds is not None else "none")
 
     img = _pad_b(cand_img, Bp)
     ang = _pad_b(cand_angle.astype(cand_img.dtype), Bp)

@@ -125,6 +125,13 @@ def _group_inputs(mask_mode, keep, mask_ref, seeds_sp, i, feat_buf, slot,
         # one draw per grid step (seeded by the group's first sample) —
         # fwd and bwd regenerate identical bits from the same seed
         mask = _prng_keep_mask(seeds_sp[i * G], fg_all.shape, keep)
+    elif mask_mode == "prng_shared":
+        # ONE [Vp, D] draw shared by the whole group (broadcast over G):
+        # 8x less PRNG work — the draw was ~20 us/step of the kernel.
+        # Group-correlated masks are the reference's own back-translation
+        # semantics (batch-shared drop noise, envdrop.py:105-121); the
+        # full-budget A/B (BASELINE.md) showed realization-insensitivity.
+        mask = _prng_keep_mask(seeds_sp[i * G], fg_all.shape[1:], keep)[None]
     else:
         mask = None
     fgd_all = _dropped(fg_all, mask, keep)                       # [G, Vp, D] f32
@@ -202,7 +209,7 @@ def _interpret_arg(interpret: bool, mask_mode: str):
     the TPU interpreter stubs prng_random_bits to zeros (all-keep mask), so
     CPU tests of the prng mode exercise plumbing + fwd/bwd consistency
     while real randomness stays TPU-only (seed-deterministic by design)."""
-    if interpret and mask_mode == "prng":
+    if interpret and mask_mode.startswith("prng"):
         return pltpu.InterpretParams()
     return interpret
 
@@ -213,10 +220,11 @@ def _mask_spec(with_mask, V, D):
     return pl.BlockSpec((1, 1), lambda i, *_: (0, 0), memory_space=pltpu.SMEM)
 
 
-@functools.partial(jax.jit, static_argnames=("keep", "interpret"))
+@functools.partial(jax.jit, static_argnames=("keep", "interpret", "shared_prng"))
 def pano_attend_fwd_pallas(nodes, views, cand_view, features, loc_embed,
                            tv_img, tv_ang, mask=None, seeds=None,
-                           keep: float = 1.0, interpret: bool = False):
+                           keep: float = 1.0, interpret: bool = False,
+                           shared_prng: bool = False):
     """Returns (vis_img [B, D] f32, vis_ang [B, A] f32, alpha [B, 36] f32,
     cand_img [B, MC, D] feature-dtype)."""
     B = nodes.shape[0]
@@ -227,7 +235,8 @@ def pano_attend_fwd_pallas(nodes, views, cand_view, features, loc_embed,
     MC = cand_view.shape[1]
     Bp = ((B + G - 1) // G) * G
     assert mask is None or seeds is None
-    mask_mode = "ext" if mask is not None else ("prng" if seeds is not None else "none")
+    mask_mode = "ext" if mask is not None else (
+        ("prng_shared" if shared_prng else "prng") if seeds is not None else "none")
 
     nodes_p = _pad_rows(nodes.astype(jnp.int32), Bp)
     views_p = _pad_rows(views.astype(jnp.int32), Bp)
@@ -281,10 +290,11 @@ def pano_attend_fwd_pallas(nodes, views, cand_view, features, loc_embed,
     return oimg[:B], oang[:B], alpha[:B, :V], cand[:B]
 
 
-@functools.partial(jax.jit, static_argnames=("keep", "interpret"))
+@functools.partial(jax.jit, static_argnames=("keep", "interpret", "shared_prng"))
 def pano_attend_bwd_pallas(nodes, views, cand_view, features, loc_embed,
                            alpha, d_img, d_ang, mask=None, seeds=None,
-                           keep: float = 1.0, interpret: bool = False):
+                           keep: float = 1.0, interpret: bool = False,
+                           shared_prng: bool = False):
     """Returns (d_tv_img [B, D] f32, d_tv_ang [B, A] f32,
     cand_img [B, MC, D] feature-dtype)."""
     B = nodes.shape[0]
@@ -295,7 +305,8 @@ def pano_attend_bwd_pallas(nodes, views, cand_view, features, loc_embed,
     MC = cand_view.shape[1]
     Bp = ((B + G - 1) // G) * G
     assert mask is None or seeds is None
-    mask_mode = "ext" if mask is not None else ("prng" if seeds is not None else "none")
+    mask_mode = "ext" if mask is not None else (
+        ("prng_shared" if shared_prng else "prng") if seeds is not None else "none")
 
     nodes_p = _pad_rows(nodes.astype(jnp.int32), Bp)
     views_p = _pad_rows(views.astype(jnp.int32), Bp)

@@ -79,6 +79,16 @@ def main():
         vis = jnp.concatenate([oi, oa], -1)
         return jnp.tanh(vis[:, :H] + jnp.sum(cand.astype(jnp.float32), axis=(1, 2))[:, None] * 0), None
 
+    def pallas_prng_shared_step(q, xs):
+        node_t, view_t, key = xs
+        seeds = jnp.arange(B, dtype=jnp.int32) + jnp.int32(jnp.sum(q[0, :1]) * 0)
+        tv = q @ W
+        oi, oa, alpha, cand = pano_attend_fwd_pallas(
+            node_t, view_t, cand_view, feats_pad, loc, tv[:, :D], tv[:, D:],
+            seeds=seeds, keep=keep, interpret=interp, shared_prng=True)
+        vis = jnp.concatenate([oi, oa], -1)
+        return jnp.tanh(vis[:, :H] + jnp.sum(cand.astype(jnp.float32), axis=(1, 2))[:, None] * 0), None
+
     def pallas_nomask_step(q, xs):
         node_t, view_t, key = xs
         tv = q @ W
@@ -132,6 +142,7 @@ def main():
     for name, step in [("xla chain", xla_step),
                        ("pallas fwd ext", pallas_step),
                        ("pallas fwd prng", pallas_prng_step),
+                       ("pallas fwd prng shared", pallas_prng_shared_step),
                        ("pallas fwd nomask", pallas_nomask_step),
                        ("pallas bwd ext", pallas_bwd_step)]:
         t0 = time.time()

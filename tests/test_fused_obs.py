@@ -363,3 +363,53 @@ def test_cand_score_prng_fwd_bwd_consistent(ctx):
     finally:
         fused_obs.set_backend("xla")
     np.testing.assert_allclose(lhs, rhs, rtol=1e-3)
+
+
+def test_cand_score_prng_shared_mode(ctx):
+    """pallas_prng_shared (one mask per kernel group — the reference's
+    batch-shared back-translation realization): fwd/bwd mask consistency
+    via the linearity identity."""
+    tables, henv = ctx
+    B, MC, D = 6, tables.cand_view.shape[1], FEAT_DIM
+    ks = jax.random.split(jax.random.PRNGKey(8), 6)
+    cand_img = jax.random.normal(ks[0], (B, MC, D))
+    cand_angle = jax.random.normal(ks[1], (B, MC, 128))
+    cand_valid = jax.random.bernoulli(ks[2], 0.7, (B, MC))
+    key = jax.random.PRNGKey(17)
+
+    fused_obs.set_backend("pallas_prng_shared")
+    try:
+        run = lambda q_: fused_obs.cand_attend_logits(
+            (0.4, True), cand_img, cand_angle, cand_valid, q_, key)
+        q = jax.random.normal(ks[3], (B, D + 128))
+        v = jax.random.normal(ks[4], (B, D + 128))
+        g = jax.random.normal(ks[5], (B, MC + 1))
+        _, vjp = jax.vjp(run, q)
+        (dq,) = vjp(g)
+        np.testing.assert_allclose(float(jnp.sum(dq * v)),
+                                   float(jnp.sum(g * run(v))), rtol=1e-3)
+    finally:
+        fused_obs.set_backend("xla")
+
+
+def test_agent_prng_shared_mode_runs(ctx, tokenizer):
+    """Full rollout fwd+bwd executes under pallas_prng_shared."""
+    tables, henv = ctx
+    agent = make_agent(tokenizer)
+    params, _ = agent.init(jax.random.PRNGKey(1))
+    ep = henv.next_batch()
+
+    fused_obs.set_backend("pallas_prng_shared")
+    try:
+        def loss_fn(p):
+            losses, _, _ = agent.rollout(p, {}, tables, ep, jax.random.PRNGKey(4),
+                                         train=True, feedback=FEEDBACK_TEACHER,
+                                         train_ml=True, train_rl=False)
+            return agent.loss_fn(losses)
+
+        v, g = jax.value_and_grad(loss_fn)(params)
+        assert np.isfinite(float(v))
+        assert all(np.all(np.isfinite(np.asarray(x)))
+                   for x in jax.tree_util.tree_leaves(g))
+    finally:
+        fused_obs.set_backend("xla")

@@ -394,7 +394,8 @@ def main():
             "batch": BATCH, "episode_len": EPISODE_LEN,
             "setup_compile_s": round(compile_s, 1),
             "train_compile_s": round(train_compile_s, 1) if train_compile_s else None,
-            "timing": "inner-scan differencing with host fetch (relay-RTT cancelled)",
+            "timing": "N-iteration inner scan minus trivial-dispatch RTT baseline "
+                      "(relay-RTT cancelled, one full-program compile per phase)",
             "baseline_scope": "env-architecture comparison (zero-cost model in the "
                               "host loop); NOT an end-to-end reference-training ratio",
         },

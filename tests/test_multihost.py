@@ -72,15 +72,28 @@ def test_multiprocess_cli_matches_single_process(tmp_path, nproc):
     """nproc CPU processes x 2 virtual devices = 2*nproc-way DP through the
     real CLI, with async checkpoint writes (TPU.CKPT_ASYNC) — metrics must
     match a single-process run and only process 0 may write checkpoints."""
-    port = _free_port()
-    procs = []
-    for pid in range(nproc):
-        procs.append(_run_cli(tmp_path, f"mh{pid}" if pid else "mh", {
-            "VLN_COORDINATOR": f"127.0.0.1:{port}",
-            "VLN_NUM_PROCESSES": str(nproc),
-            "VLN_PROCESS_ID": str(pid),
-        }))
-    outs = [p.communicate(timeout=1800)[0].decode() for p in procs]
+    # One attempt can flake on an oversubscribed 1-core host: Gloo's
+    # context init has a fixed ~30 s key-value timeout, and nproc
+    # simultaneously-compiling processes can miss it under external CPU
+    # load (observed only when pytest shared the core with other heavy
+    # jobs; a quiet host passes first try).  Retry once before failing.
+    for attempt in (0, 1):
+        import shutil
+
+        port = _free_port()
+        procs = []
+        for pid in range(nproc):
+            tag = f"mh{pid}" if pid else "mh"
+            if attempt and (tmp_path / tag).exists():
+                shutil.rmtree(tmp_path / tag)
+            procs.append(_run_cli(tmp_path, tag, {
+                "VLN_COORDINATOR": f"127.0.0.1:{port}",
+                "VLN_NUM_PROCESSES": str(nproc),
+                "VLN_PROCESS_ID": str(pid),
+            }))
+        outs = [p.communicate(timeout=1800)[0].decode() for p in procs]
+        if all(p.returncode == 0 for p in procs):
+            break
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-3000:]
 

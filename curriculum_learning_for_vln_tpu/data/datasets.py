@@ -97,3 +97,58 @@ def load_clr2r_rounds(
 
 def dataset_scans(items: Sequence[dict]) -> List[str]:
     return sorted({item["scan"] for item in items})
+
+
+def make_r4r_items(
+    items: Sequence[dict],
+    max_joins_per_anchor: int = 1,
+    seed: int = 0,
+) -> List[dict]:
+    """R4R construction (Jain et al. '19, "Stay on the Path"): join R2R
+    path pairs where the second path STARTS at the first path's goal,
+    concatenating paths and instructions.  The twisted joined routes are
+    deliberately not shortest paths, which is what makes the
+    fidelity metrics (CLS/nDTW/SDTW) discriminative.
+
+    The reference name-checks R4R in its evaluator
+    (ref: evaluator.py:34) but ships no construction or loading path —
+    this builder closes that.  Deviations from the original R4R, both
+    driven by the in-repo evaluator contract (exactly 3 instructions per
+    path, evaluator.py:35): instruction k of the first path joins
+    instruction k of the second (3 combos, not the paper's 9), and
+    ``max_joins_per_anchor`` caps how many continuations each anchor
+    path contributes (the full cross product is ~15x the R2R train set).
+
+    Joined item: path = a.path + b.path[1:], distance = a + b, heading =
+    a.heading, path_id = "<a.path_id>j<b.path_id>".
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    by_start: Dict[tuple, List[dict]] = {}
+    for it in items:
+        by_start.setdefault((it["scan"], it["path"][0]), []).append(it)
+
+    out: List[dict] = []
+    for a in items:
+        tails = [b for b in by_start.get((a["scan"], a["path"][-1]), [])
+                 if b["path_id"] != a["path_id"]]
+        if not tails:
+            continue
+        if len(tails) > max_joins_per_anchor:
+            idx = rng.choice(len(tails), size=max_joins_per_anchor,
+                             replace=False)
+            tails = [tails[int(i)] for i in sorted(idx)]
+        for b in tails:
+            out.append({
+                "scan": a["scan"],
+                "path_id": f"{a['path_id']}j{b['path_id']}",
+                "path": list(a["path"]) + list(b["path"])[1:],
+                "heading": a["heading"],
+                "distance": float(a["distance"]) + float(b["distance"]),
+                "instructions": [
+                    f"{x.strip()} {y.strip()}"
+                    for x, y in zip(a["instructions"], b["instructions"])
+                ],
+            })
+    return out

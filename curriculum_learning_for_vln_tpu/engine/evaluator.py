@@ -31,17 +31,19 @@ class Evaluation:
         self.error_margin = ERROR_MARGIN
         self.dataset = data_name
         self.splits = list(splits)
-        self.gt: Dict[int, dict] = {}
+        # gt is keyed by str(path_id): R2R path ids are ints, but R4R
+        # joined ids ("<a>j<b>", data/datasets.py::make_r4r_items) are not
+        self.gt: Dict[str, dict] = {}
         self.instr_ids = set()
-        self.instr2path: Dict[str, int] = {}
+        self.instr2path: Dict[str, str] = {}
         for item in items:
-            self.gt[item["path_id"]] = item
+            self.gt[str(item["path_id"])] = item
             if data_name in ("R2R", "CLR2R", "R4R"):
                 # exactly 3 instructions per path (ref: evaluator.py:35)
                 self.instr_ids.update(f"{item['path_id']}_{i}" for i in range(3))
             elif data_name == "RxR":
                 self.instr_ids.add(item["instruction_id"])
-                self.instr2path[item["instruction_id"]] = item["path_id"]
+                self.instr2path[item["instruction_id"]] = str(item["path_id"])
             else:
                 raise NotImplementedError(data_name)
         self._dist_cache: Dict[str, np.ndarray] = {}
@@ -58,7 +60,9 @@ class Evaluation:
         if self.dataset == "RxR":
             gt = self.gt[self.instr2path[instr_id]]
         else:
-            gt = self.gt[int(str(instr_id).split("_")[0])]
+            # instr_id = "<path_id>_<j>" (ref: evaluator.py:60 int-parses;
+            # rsplit keeps non-numeric R4R joined path ids working)
+            gt = self.gt[str(instr_id).rsplit("_", 1)[0]]
         scan = gt["scan"]
         dist = self._dist(scan)
         loc = lambda vp: self._local(scan, vp)

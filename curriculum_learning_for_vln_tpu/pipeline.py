@@ -121,6 +121,11 @@ def build_environments(cfg, tok: Tokenizer, seed: int = 2020):
         world, splits, rounds_raw, feat_dim = build_synthetic_universe(cfg, seed=seed)
         allowed = None
         expand = lambda items: DS.expand_r2r_items(items, tok, allowed)
+        if cfg.DATA.NAME == "R4R":
+            # joined twisted routes over the same synthetic world (teacher
+            # stays goal-directed via next-hop — see make_r4r_items docs)
+            splits = {k: DS.make_r4r_items(v, cfg.DATA.R4R_JOINS, seed)
+                      for k, v in splits.items()}
         valid_env = {
             "val_seen": R2RBatchEnv(world, expand(splits["val_seen"]), bs, tok, seed + 11, "val_seen"),
             "val_unseen": R2RBatchEnv(world, expand(splits["val_unseen"]), bs, tok, seed + 12, "val_unseen"),
@@ -168,6 +173,19 @@ def build_environments(cfg, tok: Tokenizer, seed: int = 2020):
         train_items = DS.load_datasets(["train"], "RxR", cfg.DATA.DATA_DIR)
         val_seen_items = DS.load_datasets(["val_seen"], "RxR", cfg.DATA.DATA_DIR)
         val_unseen_items = DS.load_datasets(["val_unseen"], "RxR", cfg.DATA.DATA_DIR)
+    elif cfg.DATA.NAME == "R4R":
+        # R4R = joined R2R path pairs, built on the fly from the R2R JSONs
+        # (data/datasets.py::make_r4r_items; the reference only
+        # name-checks R4R in its evaluator)
+        train_items = DS.make_r4r_items(
+            DS.load_datasets(["train"], "R2R", cfg.DATA.DATA_DIR),
+            cfg.DATA.R4R_JOINS, seed)
+        val_seen_items = DS.make_r4r_items(
+            DS.load_datasets(["val_seen"], "R2R", cfg.DATA.DATA_DIR),
+            cfg.DATA.R4R_JOINS, seed + 1)
+        val_unseen_items = DS.make_r4r_items(
+            DS.load_datasets(["val_unseen"], "R2R", cfg.DATA.DATA_DIR),
+            cfg.DATA.R4R_JOINS, seed + 2)
     else:
         if cfg.DATA.NAME in ("R2R", "CLR2R"):
             train_items = DS.load_datasets(

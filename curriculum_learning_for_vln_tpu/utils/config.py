@@ -144,7 +144,8 @@ def _coerce(value: Any, old: Any, key: str) -> Any:
 _C = CfgNode()
 
 _C.DATA = CfgNode()
-_C.DATA.NAME = "R2R"                       # dataset name, R2R / CLR2R / RxR
+_C.DATA.NAME = "R2R"                       # dataset name, R2R / CLR2R / RxR / R4R / Mixed
+_C.DATA.R4R_JOINS = 1                      # R4R: continuations joined per anchor path
 _C.DATA.DATA_DIR = "assets"                # where to load the dataset
 _C.DATA.TRAIN_VOCAB = ""                   # path to train vocab
 _C.DATA.TRAINVAL_VOCAB = ""                # path to train+val vocab

@@ -210,7 +210,7 @@ def test_evaluator_batched_dtw_matches_per_item(synth_world, synth_dataset, toke
     # results in list order, so positions align)
     i = 0
     for item in results:
-        gt = ev.gt[int(item["instr_id"].split("_")[0])]
+        gt = ev.gt[item["instr_id"].rsplit("_", 1)[0]]
         scan = gt["scan"]
         dist = ev._dist(scan)
         loc = lambda vp: ev._local(scan, vp)

@@ -38,6 +38,11 @@ class EpisodeBatch(NamedTuple):
     goal_local: jnp.ndarray      # [B] i32 scan-local goal index
     item_idx: jnp.ndarray        # [B] i32 dataset index (curriculum bookkeeping)
     valid: jnp.ndarray           # [B] bool (False = padding slot in tail batches)
+    # gt-route waypoints, scan-LOCAL ids padded with the goal (None or P=1
+    # selects the goal-directed teacher — see observe_meta).  Host envs
+    # pack P=1 for R2R parity and the full route under teacher_mode="path".
+    path_local: jnp.ndarray = None  # [B, P] i32
+    path_len: jnp.ndarray = None    # [B] i32
 
 
 class EnvState(NamedTuple):
@@ -48,6 +53,9 @@ class EnvState(NamedTuple):
     goal: jnp.ndarray        # [B] i32
     goal_local: jnp.ndarray  # [B] i32
     ended: jnp.ndarray       # [B] bool
+    path_local: jnp.ndarray = None  # [B, P] i32 (see EpisodeBatch)
+    path_len: jnp.ndarray = None    # [B] i32
+    path_ptr: jnp.ndarray = None    # [B] i32 index of the last reached waypoint
 
 
 class Observation(NamedTuple):
@@ -80,6 +88,10 @@ def reset(world: WorldTables, ep: EpisodeBatch) -> EnvState:
         goal=ep.goal,
         goal_local=ep.goal_local,
         ended=jnp.logical_not(ep.valid),  # padding slots are born ended
+        path_local=ep.path_local,
+        path_len=ep.path_len,
+        path_ptr=None if ep.path_local is None
+        else jnp.zeros_like(ep.goal_local),  # episodes start at path[0]
     )
 
 
@@ -100,6 +112,41 @@ def _cand_meta(world: WorldTables, state: EnvState, compute_dtype=jnp.float32):
     return c_next, c_valid, c_view, n, angle
 
 
+def _teacher_target(world: WorldTables, state: EnvState) -> jnp.ndarray:
+    """Scan-local node the teacher currently steers toward.
+
+    Waypoint-follower: the next gt-route waypoint after ``path_ptr`` (the
+    last reached one; off-route the shortest path back to that waypoint
+    is the recovery).  With ``path_local`` absent or P=1 (the goal alone)
+    this is exactly the reference's shortest-path-to-goal teacher (ref:
+    base.py:159-178 via common_env.py:325-331, whose
+    `paths[scan][cur][goal]` is also goal-directed, NOT route-following).
+    Packing the full route (R4R fidelity supervision, Jain et al. '19)
+    makes the teacher reproduce deliberately non-geodesic gt routes —
+    including ones that revisit nodes — as static-shape gathers plus one
+    [B] pointer in the scan carry (advanced in ``step``)."""
+    if (state.path_local is None or state.path_ptr is None
+            or state.path_local.shape[1] == 1):
+        return state.goal_local
+    tidx = jnp.minimum(state.path_ptr + 1, state.path_len - 1)
+    return jnp.take_along_axis(state.path_local, tidx[:, None], axis=1)[:, 0]
+
+
+def _advance_path_ptr(world: WorldTables, state: EnvState, new_node: jnp.ndarray) -> jnp.ndarray:
+    """Move the waypoint pointer to the FIRST route position beyond it
+    that the agent just landed on (teacher-following advances one; a
+    policy that rejoins the route further ahead skips to there; loops in
+    the route are preserved because positions at or before the pointer
+    never match)."""
+    path, ptr = state.path_local, state.path_ptr
+    P = path.shape[1]
+    jidx = jnp.arange(P, dtype=jnp.int32)[None, :]
+    hit = ((path == world.node_local[new_node][:, None])
+           & (jidx > ptr[:, None]) & (jidx < state.path_len[:, None]))
+    first = jnp.min(jnp.where(hit, jidx, P), axis=1)
+    return jnp.where(first < P, first, ptr).astype(jnp.int32)
+
+
 def observe_meta(world: WorldTables, state: EnvState, compute_dtype=jnp.float32):
     """The non-feature part of ``observe``: everything a fused
     gather+attention kernel does not produce itself.  Returns
@@ -109,7 +156,8 @@ def observe_meta(world: WorldTables, state: EnvState, compute_dtype=jnp.float32)
     MC = c_view.shape[1]
     slot = jnp.arange(MC + 1, dtype=jnp.int32)[None, :]
     cand_mask = slot > n[:, None]
-    teacher_next = jnp.take_along_axis(world.next_hop[node], state.goal_local[:, None], axis=1)[:, 0]
+    target = _teacher_target(world, state)
+    teacher_next = jnp.take_along_axis(world.next_hop[node], target[:, None], axis=1)[:, 0]
     match = (c_next == teacher_next[:, None]) & c_valid
     teacher_move = jnp.argmax(match, axis=1).astype(jnp.int32)
     stay = teacher_next == node
@@ -211,6 +259,11 @@ def step(world: WorldTables, state: EnvState, action: jnp.ndarray) -> EnvState:
         goal=state.goal,
         goal_local=state.goal_local,
         ended=state.ended | is_stop,
+        path_local=state.path_local,
+        path_len=state.path_len,
+        path_ptr=state.path_ptr
+        if state.path_ptr is None or state.path_local.shape[1] == 1
+        else _advance_path_ptr(world, state, new_node),
     )
 
 

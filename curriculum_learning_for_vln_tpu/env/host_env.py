@@ -47,6 +47,8 @@ def _gather_batch(dev: dict, idx: jnp.ndarray, valid: jnp.ndarray) -> EpisodeBat
         goal_local=dev["goal_local"][idx],
         item_idx=idx,
         valid=valid,
+        path_local=dev["path_local"][idx],
+        path_len=dev["path_len"][idx],
     )
 
 
@@ -62,6 +64,7 @@ class R2RBatchEnv:
         seed: int = 0,
         name: str = "train",
         sort_by_length: bool = True,
+        teacher_mode: str = "goal",
     ):
         self.world = world
         self.data: List[dict] = list(data)
@@ -69,6 +72,7 @@ class R2RBatchEnv:
         self.tok = tokenizer
         self.name = name
         self.sort_by_length = sort_by_length
+        self.teacher_mode = teacher_mode
         self._rng = np.random.default_rng(seed)
 
         n = len(self.data)
@@ -92,6 +96,24 @@ class R2RBatchEnv:
             self.goal[i] = goal
             self.goal_local[i] = world.node_local[goal]
             self.start_heading[i] = item["heading"]
+
+        # teacher waypoint table (env/env.py::_teacher_target): P=1 packs
+        # the goal alone (reference goal-directed teacher); "path" packs
+        # the full gt route for fidelity supervision (R4R)
+        if teacher_mode == "path":
+            P = max(len(item["path"]) for item in self.data)
+        elif teacher_mode == "goal":
+            P = 1
+        else:
+            raise ValueError(f"teacher_mode: {teacher_mode!r}")
+        self.path_local = np.tile(self.goal_local[:, None], (1, P)).astype(np.int32)
+        self.path_len = np.ones(n, dtype=np.int32)
+        if teacher_mode == "path":
+            for i, item in enumerate(self.data):
+                ids = [world.node_local[world.global_id(item["scan"], vp)]
+                       for vp in item["path"]]
+                self.path_local[i, : len(ids)] = ids
+                self.path_len[i] = len(ids)
 
         self._order = self._rng.permutation(n)
         self.ix = 0
@@ -136,6 +158,8 @@ class R2RBatchEnv:
                 "start_heading": jnp.asarray(self.start_heading),
                 "goal": jnp.asarray(self.goal),
                 "goal_local": jnp.asarray(self.goal_local),
+                "path_local": jnp.asarray(self.path_local),
+                "path_len": jnp.asarray(self.path_len),
             }
         return self._dev
 
@@ -178,6 +202,8 @@ class R2RBatchEnv:
             goal_local=self.goal_local[idx],
             item_idx=idx.astype(np.int32),
             valid=valid,
+            path_local=self.path_local[idx],
+            path_len=self.path_len[idx],
         )
 
     def _make_batch(self, idx: np.ndarray, valid: Optional[np.ndarray] = None) -> EpisodeBatch:
@@ -221,6 +247,8 @@ class R2RBatchEnv:
             goal_local=jnp.asarray(self.goal_local[idx]),
             item_idx=jnp.asarray(idx.astype(np.int32)),
             valid=jnp.asarray(valid),
+            path_local=jnp.asarray(self.path_local[idx]),
+            path_len=jnp.asarray(self.path_len[idx]),
         ))
 
     @property
@@ -273,6 +301,7 @@ class CLR2RBatchEnv(R2RBatchEnv):
         c_rate: float = 0.8,
         tokenizer: Optional[Tokenizer] = None,
         seed: int = 0,
+        teacher_mode: str = "goal",
     ):
         data: List[dict] = []
         difficulties: List[int] = []
@@ -281,7 +310,8 @@ class CLR2RBatchEnv(R2RBatchEnv):
             round_items = rounds[f"round_{k}"]
             data.extend(round_items)
             difficulties.extend([k] * len(round_items))
-        super().__init__(world, data, batch_size, tokenizer=tokenizer, seed=seed, name="train")
+        super().__init__(world, data, batch_size, tokenizer=tokenizer, seed=seed, name="train",
+                         teacher_mode=teacher_mode)
         # a[i] = difficulty (round number); capacity c = sum(a) * c_rate
         # (ref: curriculum_env.py:81-92). Item order *is* the global index.
         self.a = np.array(difficulties, dtype=np.float32)

@@ -305,7 +305,8 @@ def _backward(cfg: BpttStatics, res, g):
         elevation = (view_b // 12 - 1).astype(jnp.float32) * ANGLE_INC
         state = EnvState(node=node_b, view_idx=view_b, heading=heading,
                          elevation=elevation, goal=ep.goal,
-                         goal_local=ep.goal_local, ended=ended_b)
+                         goal_local=ep.goal_local, ended=ended_b,
+                         path_local=ep.path_local, path_len=ep.path_len)
         obs = E.observe(tables, state, compute_dtype=cdt)
         pano, cand = _drop_feats(cfg, km, obs.pano_feat, obs.cand_feat, feat_mask)
 

@@ -116,6 +116,7 @@ def build_environments(cfg, tok: Tokenizer, seed: int = 2020):
     R2RBatchEnv, a dict of round envs (NAIVE), or a CLR2RBatchEnv
     (SELF-PACE)."""
     bs = cfg.TRAIN.BATCH_SIZE
+    tm = cfg.AGENT.TEACHER  # "goal" (reference) | "path" (R4R fidelity teacher)
 
     if cfg.TPU.SYNTHETIC_WORLD:
         world, splits, rounds_raw, feat_dim = build_synthetic_universe(cfg, seed=seed)
@@ -127,8 +128,8 @@ def build_environments(cfg, tok: Tokenizer, seed: int = 2020):
             splits = {k: DS.make_r4r_items(v, cfg.DATA.R4R_JOINS, seed)
                       for k, v in splits.items()}
         valid_env = {
-            "val_seen": R2RBatchEnv(world, expand(splits["val_seen"]), bs, tok, seed + 11, "val_seen"),
-            "val_unseen": R2RBatchEnv(world, expand(splits["val_unseen"]), bs, tok, seed + 12, "val_unseen"),
+            "val_seen": R2RBatchEnv(world, expand(splits["val_seen"]), bs, tok, seed + 11, "val_seen", teacher_mode=tm),
+            "val_unseen": R2RBatchEnv(world, expand(splits["val_unseen"]), bs, tok, seed + 12, "val_unseen", teacher_mode=tm),
         }
         if cfg.DATA.NAME == "CLR2R" and cfg.TRAIN.CLMODE in ("NAIVE", "AUTO"):
             # NAIVE rounds are cumulative (ref main.py:66-69); AUTO's bandit
@@ -138,12 +139,12 @@ def build_environments(cfg, tok: Tokenizer, seed: int = 2020):
             for k in range(1, 6):
                 acc = (acc + rounds_raw[f"round_{k}"]) if cfg.TRAIN.CLMODE == "NAIVE" \
                     else rounds_raw[f"round_{k}"]
-                train_env[f"round_{k}"] = R2RBatchEnv(world, expand(acc), bs, tok, seed + k, "train")
+                train_env[f"round_{k}"] = R2RBatchEnv(world, expand(acc), bs, tok, seed + k, "train", teacher_mode=tm)
         elif cfg.DATA.NAME == "CLR2R" and cfg.TRAIN.CLMODE == "SELF-PACE":
             rounds = {k: expand(v) for k, v in rounds_raw.items()}
-            train_env = CLR2RBatchEnv(world, rounds, bs, cfg.TRAIN.SELF_PACE.CRATE, tok, seed)
+            train_env = CLR2RBatchEnv(world, rounds, bs, cfg.TRAIN.SELF_PACE.CRATE, tok, seed, teacher_mode=tm)
         else:
-            train_env = R2RBatchEnv(world, expand(splits["train"]), bs, tok, seed, "train")
+            train_env = R2RBatchEnv(world, expand(splits["train"]), bs, tok, seed, "train", teacher_mode=tm)
         return world, train_env, valid_env, feat_dim
 
     # ---- real data path ----
@@ -207,8 +208,8 @@ def build_environments(cfg, tok: Tokenizer, seed: int = 2020):
         expand = lambda items: DS.expand_r2r_items(items, tok, allowed)
 
     valid_env = {
-        "val_seen": R2RBatchEnv(world, expand(val_seen_items), bs, tok, seed + 11, "val_seen"),
-        "val_unseen": R2RBatchEnv(world, expand(val_unseen_items), bs, tok, seed + 12, "val_unseen"),
+        "val_seen": R2RBatchEnv(world, expand(val_seen_items), bs, tok, seed + 11, "val_seen", teacher_mode=tm),
+        "val_unseen": R2RBatchEnv(world, expand(val_unseen_items), bs, tok, seed + 12, "val_unseen", teacher_mode=tm),
     }
     if cfg.DATA.NAME == "CLR2R" and cfg.TRAIN.CLMODE in ("NAIVE", "AUTO"):
         train_env = {}
@@ -217,11 +218,11 @@ def build_environments(cfg, tok: Tokenizer, seed: int = 2020):
             lo = 1 if cfg.TRAIN.CLMODE == "NAIVE" else k  # NAIVE: cumulative
             for i in range(lo, k + 1):
                 items += DS.load_datasets([DS.clr2r_split_name(i)], "CLR2R", cfg.DATA.DATA_DIR)
-            train_env[f"round_{k}"] = R2RBatchEnv(world, expand(items), bs, tok, seed + k, "train")
+            train_env[f"round_{k}"] = R2RBatchEnv(world, expand(items), bs, tok, seed + k, "train", teacher_mode=tm)
     elif cfg.DATA.NAME == "CLR2R" and cfg.TRAIN.CLMODE == "SELF-PACE":
         rounds = {k: expand(v) for k, v in
                   DS.load_clr2r_rounds(tok, cfg.DATA.DATA_DIR, None).items()}
-        train_env = CLR2RBatchEnv(world, rounds, bs, cfg.TRAIN.SELF_PACE.CRATE, tok, seed)
+        train_env = CLR2RBatchEnv(world, rounds, bs, cfg.TRAIN.SELF_PACE.CRATE, tok, seed, teacher_mode=tm)
     else:
-        train_env = R2RBatchEnv(world, expand(train_items), bs, tok, seed, "train")
+        train_env = R2RBatchEnv(world, expand(train_items), bs, tok, seed, "train", teacher_mode=tm)
     return world, train_env, valid_env, feat_dim

@@ -201,6 +201,7 @@ _C.AGENT = CfgNode()
 _C.AGENT.TEACHER_FORCE = False
 _C.AGENT.MAX_EPISODE_LEN = 20
 _C.AGENT.FEEDBACK = "sample"               # sample | argmax | teacher
+_C.AGENT.TEACHER = "goal"                  # goal (reference shortest-path) | path (gt-route fidelity, R4R)
 
 _C.MODEL = CfgNode()
 _C.MODEL.NAME = ""

@@ -87,6 +87,44 @@ def test_evaluator_scores_r4r(synth_world, r4r_items, tokenizer):
     assert summary["ndtw"] > 0.05  # but still correlated with the route
 
 
+def _rollout_summary(world, items, tokenizer, teacher_mode, episode_len=20):
+    data = expand_r2r_items(items, tokenizer)
+    henv = R2RBatchEnv(world, data, batch_size=6, tokenizer=tokenizer,
+                       seed=5, name="val_seen", teacher_mode=teacher_mode)
+    tables = world.device_tables()
+    agent = TestAgent(episode_len=episode_len)
+    results = []
+    for ep in henv.eval_batches():
+        _, result, _ = agent.rollout({}, {}, tables, ep, jax.random.PRNGKey(0))
+        results += assemble_trajectories(world, ep, result, data)
+    summary, _ = Evaluation(world, items, data_name="R4R").score(results)
+    return summary
+
+
+def test_path_teacher_reproduces_r4r_routes(synth_world, r4r_items, tokenizer):
+    """AGENT.TEACHER=path (gt-route fidelity supervision): a
+    teacher-following agent now reproduces the twisted R4R routes, where
+    the goal-directed reference teacher shortcuts them — the fidelity gap
+    is the whole point of the mode (env/env.py::_teacher_target)."""
+    path_sum = _rollout_summary(synth_world, r4r_items, tokenizer, "path")
+    goal_sum = _rollout_summary(synth_world, r4r_items, tokenizer, "goal")
+    assert path_sum["success_rate"] > 0.9
+    # route-faithful (incl. routes that revisit nodes — the waypoint
+    # pointer preserves loops); large margin over the geodesic teacher
+    assert path_sum["ndtw"] > 0.95
+    assert path_sum["cls"] > 0.95
+    assert path_sum["ndtw"] > goal_sum["ndtw"] + 0.2
+    assert path_sum["cls"] > goal_sum["cls"] + 0.2
+
+
+def test_path_teacher_matches_goal_teacher_on_r2r(synth_world, synth_dataset, tokenizer):
+    """On R2R (gt routes ARE shortest paths) the path teacher is
+    behaviorally identical to the reference goal teacher: SR 1, nDTW 1."""
+    s = _rollout_summary(synth_world, synth_dataset, tokenizer, "path", episode_len=10)
+    assert s["success_rate"] == 1.0
+    assert s["ndtw"] > 0.99
+
+
 def test_pipeline_builds_r4r_synthetic():
     from curriculum_learning_for_vln_tpu import pipeline
     from curriculum_learning_for_vln_tpu.utils.config import get_cfg_defaults

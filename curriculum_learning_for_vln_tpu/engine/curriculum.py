@@ -34,7 +34,8 @@ from ..utils.logging_utils import ScalarWriter, clean_dir, prettyprint
 from .checkpoint import load_checkpoint, save_checkpoint
 from .evaluator import Evaluation
 from .loop import (build_eval_rollout, build_scanned_train_step, build_train_step,
-                   configure_tpu_runtime, make_optimizer, run_eval, stack_batches)
+                   configure_tpu_runtime, make_optimizer, run_eval, stack_batches,
+                   warmup_variants)
 from .trainer import ClassicTrainer, dedup_by_path, il_bucket_fn, setup_mesh
 
 logger = logging.getLogger("main.curriculum")
@@ -190,6 +191,11 @@ class SelfPacedCurriculum:
                 progmonitor_weight=train_cfg.PROGMONITOR_WEIGHT, weighted=True)
         eval_rollout = build_eval_rollout(agent)
         il_bucket = il_bucket_fn(cfg, agent)
+        # overlap server-side first-execution compiles (weighted variants)
+        warmup_variants(cfg, agent, train_step, eval_rollout, il_bucket,
+                        train_env, tables, params, opt_state, model_state, rng,
+                        scan_step=scan_step if scan_iters > 1 else None,
+                        scan_iters=scan_iters, weighted=True, logger=logger)
         valid_evaluator = {
             key: Evaluation(env.world, dedup_by_path(env.data)) for key, env in valid_env.items()
         }

@@ -48,9 +48,13 @@ def configure_tpu_runtime(cfg) -> None:
 
         rnn.set_backend("pallas")
         # fused observation kernel (gather+dropout+attention+cand rows);
-        # prng mode generates the env-dropout mask with the in-kernel
-        # hardware RNG (no mask in HBM at all)
-        fused_obs.set_backend("pallas_prng")
+        # prng modes generate the env-dropout mask with the in-kernel
+        # hardware RNG (no mask in HBM at all); "prng_shared" draws one
+        # mask per kernel group (8x less RNG work, group-correlated)
+        masks = getattr(tpu_cfg, "OBS_MASKS", "prng")
+        fused_obs.set_backend(
+            {"prng": "pallas_prng", "prng_shared": "pallas_prng_shared",
+             "ext": "pallas"}[masks])
 
 
 def make_optimizer(name: str, lr: float) -> optax.GradientTransformation:
@@ -244,6 +248,96 @@ def build_eval_rollout(agent) -> Callable:
         return result
 
     return jax.jit(roll)
+
+
+def parallel_warmup(thunks, logger=None) -> float:
+    """Fire the FIRST execution of each compiled-program thunk from
+    concurrent host threads and block until every one completes.
+
+    Through the axon-relay TPU backend the real XLA/Mosaic compile runs
+    SERVER-side at first execution (BASELINE.md "Cold compile"), and the
+    server compiles distinct programs concurrently: the 6 production
+    EnvDrop programs measured 189 s of overlapped first-execution wall vs
+    1067 s summed sequentially (scripts/compile_audit.py --overlap) —
+    a ~5.6x cold-start cut.  Thunks must pass private copies of any
+    donated buffers (params/opt_state) and discard their outputs.
+    Exceptions are logged, never raised — warmup must not kill training.
+    Returns (wall seconds, list of exceptions)."""
+    import threading
+    import time as _time
+
+    t0 = _time.time()
+    errs = []
+
+    def run(fn):
+        try:
+            out = fn()
+            jax.device_get(jax.tree_util.tree_leaves(out)[-1])
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=run, args=(t,)) for t in thunks]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    dt = _time.time() - t0
+    if logger is not None:
+        if errs:
+            logger.warning("parallel warmup: %d/%d variants failed (first: %s)",
+                           len(errs), len(thunks), errs[0])
+        logger.info("parallel warmup: %d variants compiled in %.1f s", len(thunks), dt)
+    return dt, errs
+
+
+def warmup_variants(cfg, agent, train_step, eval_rollout, il_bucket, env,
+                    tables, params, opt_state, model_state, rng,
+                    scan_step=None, scan_iters: int = 1, weighted: bool = False,
+                    logger=None) -> float:
+    """Build-and-fire the warmup thunk set a production run will need:
+    the eval rollout, the train step at every reachable IL bucket (plus
+    unbucketed), and the fused-K scan step.  Each train-step thunk gets
+    private param/opt copies (the step donates them, loop.py jits).
+    Single-process TPU only — on multihost, thread scheduling could
+    diverge across processes and deadlock collectives.  The env's
+    iteration state is snapshot-restored so epoch 1 replays the exact
+    same batch sequence with or without warmup."""
+    if not (getattr(cfg.TPU, "PARALLEL_WARMUP", True) if hasattr(cfg, "TPU") else False):
+        return 0.0, []
+    if jax.default_backend() != "tpu" or jax.process_count() != 1:
+        return 0.0, []
+    K = max(scan_iters, 1)
+    snap = (env.ix, env._order.copy(), env._cur_indices, env._cur_valid)
+    batches = [env.next_batch() for _ in range(K)]
+    il0 = il_bucket(env) if il_bucket is not None else None  # needs a current batch
+    env.ix, env._order, env._cur_indices, env._cur_valid = snap
+    ep = batches[0]
+    # reachable IL lengths: non-bucketing agents always see None; bucketing
+    # agents can hit every bucket plus the unbucketed fallback
+    ils = [None] if il0 is None else \
+        sorted(set(getattr(cfg.TPU, "IL_BUCKETS", ()) or ()))+[None]
+    wrng = jax.random.fold_in(rng, 0x7a7a)
+    w = jnp.ones((ep.valid.shape[0],), jnp.float32)
+    cp = lambda t: jax.tree_util.tree_map(jnp.array, t)
+
+    thunks = [lambda: eval_rollout(tables, params, model_state, ep, wrng)]
+    for il in ils:
+        def t_step(il=il, p=cp(params), o=cp(opt_state)):
+            a = (tables, p, o, model_state, ep, wrng, w) if weighted \
+                else (tables, p, o, model_state, ep, wrng)
+            return train_step(*a, il_len=il)
+        thunks.append(t_step)
+    if scan_step is not None and scan_iters > 1:
+        eps = stack_batches(batches)
+        rngs = jax.random.split(wrng, K)
+        ws = jnp.ones((K, ep.valid.shape[0]), jnp.float32)
+
+        def t_scan(p=cp(params), o=cp(opt_state)):
+            a = (tables, p, o, model_state, eps, rngs, ws) if weighted \
+                else (tables, p, o, model_state, eps, rngs)
+            return scan_step(*a, il_len=ils[0])
+        thunks.append(t_scan)
+    return parallel_warmup(thunks, logger=logger)
 
 
 def write_results(results, results_dir: str, split: str = "train") -> str:

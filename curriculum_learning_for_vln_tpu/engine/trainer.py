@@ -26,7 +26,8 @@ from ..utils.logging_utils import ScalarWriter, clean_dir, prettyprint
 from .checkpoint import load_checkpoint, save_checkpoint, wait_for_checkpoints
 from .evaluator import Evaluation
 from .loop import (build_eval_rollout, build_scanned_train_step, build_train_step,
-                   configure_tpu_runtime, make_optimizer, run_eval, stack_batches)
+                   configure_tpu_runtime, make_optimizer, run_eval, stack_batches,
+                   warmup_variants)
 
 logger = logging.getLogger("main.train")
 
@@ -202,6 +203,13 @@ class ClassicTrainer:
         )
         eval_rollout = build_eval_rollout(agent)
         il_bucket = il_bucket_fn(cfg, agent)
+        # overlap the server-side first-execution compiles of every
+        # program variant this run will dispatch (~5.6x cold-start cut
+        # through the relay; loop.py::parallel_warmup)
+        warmup_variants(cfg, agent, train_step, eval_rollout, il_bucket,
+                        first_env, tables, params, opt_state, model_state, rng,
+                        scan_step=scan_step if scan_iters > 1 else None,
+                        scan_iters=scan_iters, logger=logger)
 
         valid_evaluator = {
             key: Evaluation(env.world, dedup_by_path(env.data)) for key, env in valid_env.items()
@@ -324,7 +332,9 @@ class ClassicTrainer:
                                "success_rate", "oracle_rate", "spl", "ndtw", "sdtw"):
                         writer.add_scalar(f"{key}/{mk}", scores[mk], ep)
                     if key in best_val and scores["success_rate"] > best_val[key]["success_rate"]:
-                        best_val[key]["success_rate"] = scores["success_rate"]
+                        # keep the FULL metric row of the best-SR epoch
+                        # (fidelity studies read ndtw/cls off it too)
+                        best_val[key] = dict(scores)
                         if is_main:
                             path = osp.join(output_ckpt_dir, f"best_{key}_SR:{scores['success_rate']:.4f}.ckpt")
                             save_checkpoint(path, params, opt_state, model_state, rng, ep,

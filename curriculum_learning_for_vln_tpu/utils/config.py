@@ -263,6 +263,9 @@ _C.TPU.MESH_DATA = 0                       # data-parallel mesh size, 0 = all de
 _C.TPU.MESH_MODEL = 1                      # model-parallel mesh size
 _C.TPU.PRECISION = "bf16"                  # feature-table precision: bf16 | f32
 _C.TPU.USE_PALLAS = True                   # enable Pallas kernels on TPU backends
+_C.TPU.OBS_MASKS = "prng"                  # fused-obs env-dropout masks: prng (per-sample
+#                                            in-kernel RNG) | prng_shared (one draw per
+#                                            kernel group, 8x less RNG work) | ext (XLA masks)
 _C.TPU.SYNTHETIC_WORLD = False             # use a synthetic world (no connectivity data)
 _C.TPU.SYNTHETIC_SCANS = 8
 _C.TPU.SYNTHETIC_NODES = 64
@@ -272,6 +275,9 @@ _C.TPU.SYNTHETIC_VAL_PATHS = 40
 _C.TPU.MAX_CANDIDATES = 16                 # static candidate-slot count (R2R max ~14)
 _C.TPU.SCAN_ITERS = 1                      # training iterations fused per dispatch (1 = off)
 _C.TPU.COMPILATION_CACHE = ".jax_cache"    # persistent XLA compile cache dir ("" = off)
+_C.TPU.PARALLEL_WARMUP = True              # overlap server-side first-execution compiles
+#                                            of all program variants at trainer startup
+#                                            (~5.6x cold-start cut through the relay)
 _C.TPU.IL_BUCKETS = (8, 16)                # teacher-forced episode-length buckets (() = off)
 _C.TPU.PROFILE_DIR = ""                    # capture a jax.profiler trace of epoch 1 ("" = off)
 # Hand-written rollout backward (ops/bptt.py).  Off by default: measured

@@ -37,6 +37,11 @@ def main():
     ap.add_argument("--execute", action="store_true",
                     help="run each variant once and include the (server-side) "
                          "first-execution compile in the timing")
+    ap.add_argument("--overlap", action="store_true",
+                    help="client-compile all variants sequentially, then fire "
+                         "every first execution from concurrent host threads — "
+                         "measures whether the relay's server-side compiles "
+                         "overlap (NEXT.md item 3)")
     args = ap.parse_args()
 
     import jax
@@ -94,12 +99,15 @@ def main():
     w = jnp.ones((64,), jnp.float32)
 
     total = 0.0
+    pending = []  # (name, compiled, args) for --overlap phase 2
 
     def audit(name, jit_fn, *a, **kw):
         nonlocal total
         t0 = time.time()
         compiled = jit_fn.lower(*a, **kw).compile()
-        if args.execute:
+        if args.overlap:
+            pending.append((name, compiled, a))
+        elif args.execute:
             out = compiled(*a)  # static argnames are baked into the lowering
             jax.tree_util.tree_leaves(out)[0].block_until_ready()
             # force completion through the relay with a real fetch
@@ -128,6 +136,33 @@ def main():
           mstate, eps, rngs, il_len=8)
 
     print(f"{total:8.1f} s  TOTAL", flush=True)
+
+    if args.overlap:
+        import threading
+
+        times = {}
+
+        def fire(name, compiled, a):
+            # the train steps donate params/opt_state (loop.py) — give each
+            # variant private copies so concurrent executions don't consume
+            # each other's inputs
+            a = jax.tree_util.tree_map(jnp.array, a)
+            t0 = time.time()
+            out = compiled(*a)
+            _ = jax.device_get(jax.tree_util.tree_leaves(out)[-1])
+            times[name] = time.time() - t0
+
+        t0 = time.time()
+        threads = [threading.Thread(target=fire, args=p) for p in pending]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.time() - t0
+        for name, dt in times.items():
+            print(f"{dt:8.1f} s  first-exec {name}", flush=True)
+        print(f"{wall:8.1f} s  OVERLAPPED first-exec wall "
+              f"(sum {sum(times.values()):.1f} s)", flush=True)
 
 
 if __name__ == "__main__":

@@ -101,7 +101,20 @@ def run_one(arm: str, seed: int, epochs: int, tmp: str) -> dict:
     trainer = engine.ClassicTrainer()
     params, mstate, best = trainer.train(cfg, agent, None, train_env, valid_env,
                                          seed=1000 + seed)
-    return {m: float(best["val_unseen"].get(m, float("nan"))) for m in METRICS}
+    # deterministic FINAL evaluation of the trained params on R4R
+    # val_unseen (best-SR rows carry no metrics for runs whose SR never
+    # left 0, and "best" snapshots differ per arm — final params are the
+    # apples-to-apples comparison)
+    from curriculum_learning_for_vln_tpu.engine.evaluator import Evaluation
+    from curriculum_learning_for_vln_tpu.engine.loop import run_eval
+    from curriculum_learning_for_vln_tpu.engine.trainer import dedup_by_path
+
+    env = valid_env["val_unseen"]
+    results = run_eval(agent, params, mstate, world.device_tables(),
+                       env, jax.random.PRNGKey(123))
+    summary, _ = Evaluation(world, dedup_by_path(env.data),
+                            data_name="R4R").score(results)
+    return {m: float(summary.get(m, float("nan"))) for m in METRICS}
 
 
 def main():

@@ -283,3 +283,69 @@ def test_il_bucket_fn_selection(synth_world, synth_dataset, tokenizer):
     cfg2.AGENT.FEEDBACK = "sample"
     agent2 = build_agent(cfg2, tokenizer.vocab_size(), FEAT_DIM)
     assert il_bucket_fn(cfg2, agent2)(henv) is None
+
+
+def test_obs_masks_knob_selects_fused_obs_backend(monkeypatch):
+    """TPU.OBS_MASKS maps to the fused-obs kernel backend in
+    configure_tpu_runtime (gated on a TPU default backend)."""
+    import jax as _jax
+
+    from curriculum_learning_for_vln_tpu.engine.loop import configure_tpu_runtime
+    from curriculum_learning_for_vln_tpu.ops import fused_obs, rnn
+
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    cfg = base_cfg()
+    cfg.TPU.COMPILATION_CACHE = ""
+    try:
+        for knob, backend in [("prng_shared", "pallas_prng_shared"),
+                              ("ext", "pallas"), ("prng", "pallas_prng")]:
+            cfg.TPU.OBS_MASKS = knob
+            configure_tpu_runtime(cfg)
+            assert fused_obs._BACKEND == backend
+    finally:
+        fused_obs.set_backend("xla")
+        rnn.set_backend("xla")
+
+
+def test_parallel_warmup_compiles_all_variants(synth_world, synth_dataset,
+                                               tokenizer, monkeypatch):
+    """TPU.PARALLEL_WARMUP fires every program variant concurrently with
+    donated-buffer copies, leaves the env's batch stream untouched, and
+    reports zero failures (gate forced open off-TPU)."""
+    import jax as _jax
+
+    from curriculum_learning_for_vln_tpu.engine import loop as L
+    from curriculum_learning_for_vln_tpu.engine.trainer import il_bucket_fn
+
+    data = expand_r2r_items(synth_dataset, tokenizer)
+    henv = R2RBatchEnv(synth_world, data, batch_size=6, tokenizer=tokenizer, seed=9)
+    tables = synth_world.device_tables()
+    cfg = base_cfg("ENVDROP")
+    cfg.AGENT.FEEDBACK = "sample"
+    cfg.TPU.IL_BUCKETS = (8, 16)
+    agent = build_agent(cfg, tokenizer.vocab_size(), FEAT_DIM)
+    params, mstate = agent.init(jax.random.PRNGKey(0))
+    opt = make_optimizer("sgd", 1e-2)
+    opt_state = opt.init(params)
+    step = build_train_step(agent, opt, "sample")
+    scan_step = build_scanned_train_step(agent, opt, "sample")
+    eval_roll = L.build_eval_rollout(agent)
+    il_bucket = il_bucket_fn(cfg, agent)
+
+    ix0 = henv.ix
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    dt, errs = L.warmup_variants(
+        cfg, agent, step, eval_roll, il_bucket, henv, tables, params,
+        opt_state, mstate, jax.random.PRNGKey(1),
+        scan_step=scan_step, scan_iters=2)
+    assert errs == []
+    assert dt > 0.0
+    # batch stream untouched: iteration state fully restored
+    assert henv.ix == ix0
+    assert henv._cur_indices is None
+    # knob off -> no-op
+    cfg.TPU.PARALLEL_WARMUP = False
+    dt2, errs2 = L.warmup_variants(
+        cfg, agent, step, eval_roll, il_bucket, henv, tables, params,
+        opt_state, mstate, jax.random.PRNGKey(1))
+    assert (dt2, errs2) == (0.0, [])

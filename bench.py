@@ -283,7 +283,6 @@ def bench_device(world, henv, tok):
     train_sps = None
     per_iter = None
     train_roofline = {}
-    train_compile_s = None
     if train_big is not None and remaining() > 60:
         try:
             t_big = _timed_fetch(train_big, params_t, opt_state, jax.random.PRNGKey(2))
@@ -303,7 +302,7 @@ def bench_device(world, henv, tok):
     else:
         log(f"train-step measurement skipped ({remaining():.0f}s budget left)")
     return (rollout_sps, train_sps, per_iter, rollout_compile_s,
-            rollout_roofline, train_roofline, train_compile_s)
+            rollout_roofline, train_roofline)
 
 
 def bench_host_baseline(world, graphs, henv):
@@ -396,7 +395,7 @@ def main():
         log(f"baseline failed: {e}")
         baseline_sps = None
     (rollout_sps, train_sps, per_iter, compile_s,
-     rollout_roofline, train_roofline, train_compile_s) = bench_device(world, henv, tok)
+     rollout_roofline, train_roofline) = bench_device(world, henv, tok)
 
     vs = (rollout_sps / baseline_sps) if baseline_sps else None
     print(json.dumps({
@@ -413,7 +412,6 @@ def main():
             "host_loop_baseline_steps_per_sec": round(baseline_sps, 1) if baseline_sps else None,
             "batch": BATCH, "episode_len": EPISODE_LEN,
             "setup_compile_s": round(compile_s, 1),
-            "train_compile_s": round(train_compile_s, 1) if train_compile_s else None,
             "compile_overlapped": True,
             "timing": "N-iteration inner scan minus trivial-dispatch RTT baseline "
                       "(relay-RTT cancelled; all programs' server-side first-"

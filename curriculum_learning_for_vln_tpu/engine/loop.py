@@ -11,6 +11,7 @@ so the same compiled step serves classic and curriculum training.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Callable, Optional
 
 import jax
@@ -251,36 +252,44 @@ def build_eval_rollout(agent) -> Callable:
 
 
 def parallel_warmup(thunks, logger=None) -> float:
-    """Fire the FIRST execution of each compiled-program thunk from
-    concurrent host threads and block until every one completes.
+    """Dispatch the FIRST execution of every compiled-program thunk
+    asynchronously, in order, from ONE thread — then fetch each result.
 
     Through the axon-relay TPU backend the real XLA/Mosaic compile runs
     SERVER-side at first execution (BASELINE.md "Cold compile"), and the
-    server compiles distinct programs concurrently: the 6 production
-    EnvDrop programs measured 189 s of overlapped first-execution wall vs
-    1067 s summed sequentially (scripts/compile_audit.py --overlap) —
-    a ~5.6x cold-start cut.  Thunks must pass private copies of any
-    donated buffers (params/opt_state) and discard their outputs.
-    Exceptions are logged, never raised — warmup must not kill training.
+    server starts compiling at DISPATCH, concurrently across distinct
+    programs: enqueueing all 6 production EnvDrop variants before
+    fetching any measured **84 s** wall vs 1067 s fetch-before-next
+    (scripts/compile_audit.py --enqueue; every post-first fetch returned
+    in ~0 s).  The earlier threaded variant measured 189 s — single-
+    thread enqueue is at least as overlapped and keeps a deterministic
+    dispatch order, which makes it safe under multihost SPMD: every
+    process enqueues the same programs in the same order, so collective
+    launches line up.  Thunks must pass private copies of any donated
+    buffers (params/opt_state) and discard their outputs.  Exceptions
+    are logged, never raised — warmup must not kill training.
     Returns (wall seconds, list of exceptions)."""
-    import threading
     import time as _time
 
     t0 = _time.time()
     errs = []
-
-    def run(fn):
+    outs = []
+    for fn in thunks:
         try:
-            out = fn()
-            jax.device_get(jax.tree_util.tree_leaves(out)[-1])
+            outs.append(fn())          # async dispatch — no fetch yet
         except Exception as e:  # noqa: BLE001
             errs.append(e)
-
-    threads = [threading.Thread(target=run, args=(t,)) for t in thunks]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
+    for out in outs:
+        try:
+            for leaf in reversed(jax.tree_util.tree_leaves(out)):
+                # on multihost, only fully-replicated (or local) outputs
+                # are fetchable; any one leaf proves the program ran
+                if getattr(leaf, "is_fully_addressable", True) or \
+                        getattr(leaf, "is_fully_replicated", False):
+                    jax.device_get(leaf)
+                    break
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
     dt = _time.time() - t0
     if logger is not None:
         if errs:
@@ -298,13 +307,17 @@ def warmup_variants(cfg, agent, train_step, eval_rollout, il_bucket, env,
     the eval rollout, the train step at every reachable IL bucket (plus
     unbucketed), and the fused-K scan step.  Each train-step thunk gets
     private param/opt copies (the step donates them, loop.py jits).
-    Single-process TPU only — on multihost, thread scheduling could
-    diverge across processes and deadlock collectives.  The env's
-    iteration state is snapshot-restored so epoch 1 replays the exact
-    same batch sequence with or without warmup."""
+    Multihost-safe: dispatch order is deterministic and identical on
+    every process (parallel_warmup enqueues from one thread), so SPMD
+    collective launches line up.  The env's iteration state is
+    snapshot-restored so epoch 1 replays the exact same batch sequence
+    with or without warmup.  Gated to TPU backends (CPU/GPU compile
+    client-side where the persistent cache already works);
+    VLN_WARMUP_FORCE=1 overrides the gate for tests."""
     if not (getattr(cfg.TPU, "PARALLEL_WARMUP", True) if hasattr(cfg, "TPU") else False):
         return 0.0, []
-    if jax.default_backend() != "tpu" or jax.process_count() != 1:
+    if jax.default_backend() != "tpu" and \
+            os.environ.get("VLN_WARMUP_FORCE") != "1":
         return 0.0, []
     K = max(scan_iters, 1)
     snap = (env.ix, env._order.copy(), env._cur_indices, env._cur_valid)

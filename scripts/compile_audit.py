@@ -42,6 +42,12 @@ def main():
                          "every first execution from concurrent host threads — "
                          "measures whether the relay's server-side compiles "
                          "overlap (NEXT.md item 3)")
+    ap.add_argument("--enqueue", action="store_true",
+                    help="like --overlap but dispatch every first execution "
+                         "sequentially from ONE thread (async dispatch, no "
+                         "fetch) before fetching any — if server compiles "
+                         "still overlap, warmup can run in deterministic "
+                         "order and is multihost-safe")
     args = ap.parse_args()
 
     import jax
@@ -105,7 +111,7 @@ def main():
         nonlocal total
         t0 = time.time()
         compiled = jit_fn.lower(*a, **kw).compile()
-        if args.overlap:
+        if args.overlap or args.enqueue:
             pending.append((name, compiled, a))
         elif args.execute:
             out = compiled(*a)  # static argnames are baked into the lowering
@@ -163,6 +169,21 @@ def main():
             print(f"{dt:8.1f} s  first-exec {name}", flush=True)
         print(f"{wall:8.1f} s  OVERLAPPED first-exec wall "
               f"(sum {sum(times.values()):.1f} s)", flush=True)
+
+    if args.enqueue:
+        t0 = time.time()
+        outs = []
+        for name, compiled, a in pending:
+            a = jax.tree_util.tree_map(jnp.array, a)  # private donated copies
+            outs.append((name, compiled(*a)))
+        t_disp = time.time() - t0
+        for name, out in outs:
+            td = time.time()
+            _ = jax.device_get(jax.tree_util.tree_leaves(out)[-1])
+            print(f"{time.time() - td:8.1f} s  fetch {name}", flush=True)
+        wall = time.time() - t0
+        print(f"{wall:8.1f} s  ENQUEUED first-exec wall "
+              f"(async dispatch took {t_disp:.1f} s)", flush=True)
 
 
 if __name__ == "__main__":

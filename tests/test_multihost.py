@@ -90,6 +90,11 @@ def test_multiprocess_cli_matches_single_process(tmp_path, nproc):
                 "VLN_COORDINATOR": f"127.0.0.1:{port}",
                 "VLN_NUM_PROCESSES": str(nproc),
                 "VLN_PROCESS_ID": str(pid),
+                # exercise the enqueue-ordered compile warmup under real
+                # multihost SPMD (deterministic dispatch order on every
+                # process; loop.py::parallel_warmup) — metrics must still
+                # match the warmup-less single-process run below
+                "VLN_WARMUP_FORCE": "1",
             }))
         outs = [p.communicate(timeout=1800)[0].decode() for p in procs]
         if all(p.returncode == 0 for p in procs):

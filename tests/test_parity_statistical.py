@@ -76,3 +76,35 @@ def test_clr2r_construction_end_to_end():
     assert set(result["mean_sr"]) == {"scorer", "random"}
     for arm, sr in result["mean_sr"].items():
         assert 0.0 <= sr <= 1.0, (arm, sr)
+
+
+@pytest.mark.skipif(not RUN, reason="slow; RUN_SLOW=1 enables")
+def test_r4r_fidelity_ordering():
+    """Jain et al. '19 ordering on R4R val_unseen (BASELINE.md "R4R
+    fidelity supervision", 2-seed margins are wide): only the waypoint
+    path teacher reaches the joined-route goal, and it leads nDTW.
+    Single seed x 60 epochs re-run of scripts/r4r_quality.py."""
+    import json
+    import subprocess
+    import sys
+
+    with tempfile.TemporaryDirectory() as tmp:
+        outf = os.path.join(tmp, "r4r.jsonl")
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "r4r_quality.py"),
+             "--seeds", "1", "--epochs", "60", "--out", outf],
+            capture_output=True, text=True, timeout=3600,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"}, cwd=REPO)
+        assert out.returncode == 0, out.stderr[-3000:]
+        rows = {}
+        with open(outf) as f:
+            for line in f:
+                r = json.loads(line)
+                rows[r["arm"]] = r["metrics"]
+    assert set(rows) == {"r2r-goal", "r4r-goal", "r4r-path"}
+    # the path teacher is the only arm that reaches the R4R goal
+    assert rows["r4r-path"]["success_rate"] > rows["r4r-goal"]["success_rate"], rows
+    assert rows["r4r-path"]["success_rate"] > rows["r2r-goal"]["success_rate"], rows
+    # and fidelity supervision moves the fidelity metric (goal-teacher
+    # training on the same R4R data is self-inconsistent and trails)
+    assert rows["r4r-path"]["ndtw"] > rows["r4r-goal"]["ndtw"], rows

@@ -55,7 +55,8 @@ def build(args):
         from curriculum_learning_for_vln_tpu.ops import fused_obs, rnn
 
         rnn.set_backend("pallas")
-        fused_obs.set_backend("pallas_prng")
+        fused_obs.set_backend("pallas_prng_shared" if args.shared_masks
+                              else "pallas_prng")
     tables = world.device_tables("bf16" if platform != "cpu" else "f32")
 
     cfg = get_cfg_defaults()
@@ -152,6 +153,8 @@ def main():
     ap.add_argument("--out", default="/tmp/vln_trace")
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--shared-masks", action="store_true",
+                    help="use the pallas_prng_shared group-mask mode")
     ap.add_argument("--summarize-only", default="",
                     help="skip capture; summarize this existing trace dir")
     ap.add_argument("--top", type=int, default=40)

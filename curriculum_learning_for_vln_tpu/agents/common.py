@@ -33,6 +33,17 @@ NEG_INF_SAFE = NEG_INF  # re-export for agents
 
 FEEDBACK_IDS = {"teacher": FEEDBACK_TEACHER, "argmax": FEEDBACK_ARGMAX, "sample": FEEDBACK_SAMPLE}
 
+# Rollout-scan unroll factor (TPU.SCAN_UNROLL).  The train iteration is
+# op-count-bound (~17k device ops of ~0.6 us, BASELINE.md round 3);
+# unrolling the episode scan gives XLA adjacent steps to fuse across and
+# fewer while-loop trips, at the cost of a proportionally larger program.
+_SCAN_UNROLL = 1
+
+
+def set_scan_unroll(n: int) -> None:
+    global _SCAN_UNROLL
+    _SCAN_UNROLL = max(1, int(n))
+
 
 class StepRecord(NamedTuple):
     """Stacked [T, ...] outputs of the rollout scan."""
@@ -206,7 +217,8 @@ def rollout_scan(
         return (new_state, mc, rng, visited), rec
 
     (final_state, mc, _, _), steps = jax.lax.scan(
-        step, (state0, model_carry0, rng, visited0), jnp.arange(episode_len)
+        step, (state0, model_carry0, rng, visited0), jnp.arange(episode_len),
+        unroll=_SCAN_UNROLL,
     )
     return RolloutResult(
         final_state=final_state,

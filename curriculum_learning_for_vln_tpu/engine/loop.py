@@ -44,6 +44,11 @@ def configure_tpu_runtime(cfg) -> None:
         os.makedirs(os.path.expanduser(cache_dir), exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", os.path.expanduser(cache_dir))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    unroll = int(getattr(tpu_cfg, "SCAN_UNROLL", 1))
+    if unroll != 1:
+        from ..agents import common as _agents_common
+
+        _agents_common.set_scan_unroll(unroll)
     if tpu_cfg.USE_PALLAS and jax.default_backend() == "tpu":
         from ..ops import fused_obs, rnn
 

@@ -274,6 +274,8 @@ _C.TPU.SYNTHETIC_TRAIN_PATHS = 240         # synthetic split sizes
 _C.TPU.SYNTHETIC_VAL_PATHS = 40
 _C.TPU.MAX_CANDIDATES = 16                 # static candidate-slot count (R2R max ~14)
 _C.TPU.SCAN_ITERS = 1                      # training iterations fused per dispatch (1 = off)
+_C.TPU.SCAN_UNROLL = 1                     # rollout-scan unroll factor (op-count lever;
+#                                            measured numbers in BASELINE.md round 3)
 _C.TPU.COMPILATION_CACHE = ".jax_cache"    # persistent XLA compile cache dir ("" = off)
 _C.TPU.PARALLEL_WARMUP = True              # overlap server-side first-execution compiles
 #                                            of all program variants at trainer startup

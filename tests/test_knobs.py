@@ -257,6 +257,42 @@ def test_il_bucketing_loss_identical(synth_world, synth_dataset, tokenizer, mode
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.parametrize("unroll", [2, 4])
+def test_scan_unroll_training_update_identical(synth_world, synth_dataset, tokenizer, unroll):
+    """TPU.SCAN_UNROLL only changes how XLA lowers the rollout loop — the
+    training update must match the unroll=1 baseline (episode_len 12 is
+    deliberately not a multiple of 4: jax handles the remainder)."""
+    from curriculum_learning_for_vln_tpu.agents import common as AC
+
+    data = expand_r2r_items(synth_dataset, tokenizer)
+    henv = R2RBatchEnv(synth_world, data, batch_size=8, tokenizer=tokenizer, seed=6)
+    tables = synth_world.device_tables()
+    cfg = base_cfg("ENVDROP")
+    cfg.AGENT.MAX_EPISODE_LEN = 12
+    agent = build_agent(cfg, tokenizer.vocab_size(), FEAT_DIM)
+    params, mstate = agent.init(jax.random.PRNGKey(0))
+    opt = make_optimizer("sgd", 1e-2)
+    opt_state = opt.init(params)
+
+    ep = henv.next_batch()
+    rng = jax.random.PRNGKey(3)
+    copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
+    # a fresh build_train_step per factor: the unroll global is read at
+    # trace time, so reusing one jitted step would hit its compile cache
+    try:
+        AC.set_scan_unroll(1)
+        step1 = build_train_step(agent, opt, "sample")
+        p1, _, _, logs1 = step1(tables, copy(params), copy(opt_state), mstate, ep, rng)
+        AC.set_scan_unroll(unroll)
+        stepu = build_train_step(agent, opt, "sample")
+        pu, _, _, logsu = stepu(tables, copy(params), copy(opt_state), mstate, ep, rng)
+    finally:
+        AC.set_scan_unroll(1)
+    assert np.allclose(float(logs1["loss"]), float(logsu["loss"]), atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(pu)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_il_bucket_fn_selection(synth_world, synth_dataset, tokenizer):
     from curriculum_learning_for_vln_tpu.engine.trainer import il_bucket_fn
 

@@ -45,6 +45,26 @@ def set_scan_unroll(n: int) -> None:
     _SCAN_UNROLL = max(1, int(n))
 
 
+# All-ended early exit (TPU.SCAN_EARLY_EXIT).  The reference breaks its
+# Python rollout loop as soon as every episode has ended
+# (ref: follower.py:168 "if ended.all(): break"); a fixed-length scan
+# instead burns full model steps on all-dead batches — measured 46.7% of
+# RL scan steps with a converged policy at T=15 (and ~70% at the
+# production T=35), see BASELINE.md.  With the flag on, each scan step
+# branches on a scalar any-alive predicate and replaces the whole model
+# step with a frozen record whose loss-visible fields are exactly what
+# the live step produces for an all-ended batch (zeros / IGNORE / same
+# node); XLA lowers the branch to a runtime conditional so dead steps
+# cost ~nothing.  Update-equality with the flag off is asserted in
+# tests/test_knobs.py.
+_EARLY_EXIT = False
+
+
+def set_early_exit(on: bool) -> None:
+    global _EARLY_EXIT
+    _EARLY_EXIT = bool(on)
+
+
 class StepRecord(NamedTuple):
     """Stacked [T, ...] outputs of the rollout scan."""
 
@@ -160,7 +180,7 @@ def rollout_scan(
     visited0 = jnp.full((B, episode_len + 1), -1, jnp.int32)
     visited0 = visited0.at[:, 0].set(state0.node)
 
-    def step(carry, t):
+    def live_step(carry, t):
         state, mc, rng, visited = carry
         rng, rng_model, rng_act = jax.random.split(rng, 3)
 
@@ -216,8 +236,34 @@ def rollout_scan(
         )
         return (new_state, mc, rng, visited), rec
 
+    carry0 = (state0, model_carry0, rng, visited0)
+    if _EARLY_EXIT:
+        # abstract record shapes/dtypes so the frozen branch matches the
+        # live one exactly across agents and compute dtypes
+        rec_sd = jax.eval_shape(live_step, carry0, jnp.int32(0))[1]
+
+        def frozen_step(carry, t):
+            state = carry[0]
+            rec = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), rec_sd
+            )._replace(
+                # frozen env semantics: the node sticks, nothing moves,
+                # teacher is IGNORE — identical to what live_step records
+                # for a batch whose episodes have all ended
+                node_after=state.node,
+                view_after=state.view_idx,
+                teacher=jnp.full_like(state.node, E.IGNORE_ID),
+            )
+            return carry, rec
+
+        def step(carry, t):
+            any_alive = jnp.logical_not(jnp.all(carry[0].ended))
+            return jax.lax.cond(any_alive, live_step, frozen_step, carry, t)
+    else:
+        step = live_step
+
     (final_state, mc, _, _), steps = jax.lax.scan(
-        step, (state0, model_carry0, rng, visited0), jnp.arange(episode_len),
+        step, carry0, jnp.arange(episode_len),
         unroll=_SCAN_UNROLL,
     )
     return RolloutResult(

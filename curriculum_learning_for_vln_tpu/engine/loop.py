@@ -49,6 +49,10 @@ def configure_tpu_runtime(cfg) -> None:
         from ..agents import common as _agents_common
 
         _agents_common.set_scan_unroll(unroll)
+    if bool(getattr(tpu_cfg, "SCAN_EARLY_EXIT", False)):
+        from ..agents import common as _agents_common
+
+        _agents_common.set_early_exit(True)
     if tpu_cfg.USE_PALLAS and jax.default_backend() == "tpu":
         from ..ops import fused_obs, rnn
 

@@ -276,6 +276,9 @@ _C.TPU.MAX_CANDIDATES = 16                 # static candidate-slot count (R2R ma
 _C.TPU.SCAN_ITERS = 1                      # training iterations fused per dispatch (1 = off)
 _C.TPU.SCAN_UNROLL = 1                     # rollout-scan unroll factor (op-count lever;
 #                                            measured numbers in BASELINE.md round 3)
+_C.TPU.SCAN_EARLY_EXIT = False             # skip all-ended rollout steps via lax.cond
+#                                            (reference breaks its loop there,
+#                                            follower.py:168; parity: tests/test_knobs.py)
 _C.TPU.COMPILATION_CACHE = ".jax_cache"    # persistent XLA compile cache dir ("" = off)
 _C.TPU.PARALLEL_WARMUP = True              # overlap server-side first-execution compiles
 #                                            of all program variants at trainer startup

@@ -293,6 +293,87 @@ def test_scan_unroll_training_update_identical(synth_world, synth_dataset, token
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.parametrize("model,fb,T", [
+    ("ENVDROP", "sample", 20),       # RL arm: untrained sampling fully ends < 20
+    ("SELF-MONITOR", "teacher", 14), # teacher forces stop at goal (~7 steps)
+    ("FOLLOWER", "teacher", 14),
+])
+def test_scan_early_exit_update_identical(synth_world, synth_dataset, tokenizer,
+                                          model, fb, T):
+    """TPU.SCAN_EARLY_EXIT skips all-ended scan steps via lax.cond (the
+    reference breaks its rollout loop there, follower.py:168); every
+    loss-visible StepRecord field is masked at dead steps, so the training
+    update must equal the no-exit baseline bit-for-bit up to float assoc.
+    T is chosen so every batch fully ends well before the horizon — the
+    frozen branch is genuinely exercised.
+
+    f32 compute: under bf16 compute copies the cond changes XLA's fusion
+    of the upcast chains, which moves grads by 1-2 bf16 ulps (and BN-MLP
+    bias leaves have mathematically-zero gradients, so they are pure
+    rounding noise in both variants) — f32 makes the semantic equality
+    visible at 1e-5."""
+    from curriculum_learning_for_vln_tpu.agents import common as AC
+
+    data = expand_r2r_items(synth_dataset, tokenizer)
+    henv = R2RBatchEnv(synth_world, data, batch_size=8, tokenizer=tokenizer, seed=9)
+    tables = synth_world.device_tables()
+    cfg = base_cfg(model)
+    cfg.TPU.PRECISION = "f32"
+    cfg.AGENT.MAX_EPISODE_LEN = T
+    agent = build_agent(cfg, tokenizer.vocab_size(), FEAT_DIM)
+    params, mstate = agent.init(jax.random.PRNGKey(0))
+    opt = make_optimizer("sgd", 1e-2)
+    opt_state = opt.init(params)
+
+    ep = henv.next_batch()
+    rng = jax.random.PRNGKey(4)
+    copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
+    try:
+        AC.set_early_exit(False)
+        step0 = build_train_step(agent, opt, fb)
+        p0, _, _, logs0 = step0(tables, copy(params), copy(opt_state), mstate, ep, rng)
+        AC.set_early_exit(True)
+        step1 = build_train_step(agent, opt, fb)
+        p1, _, _, logs1 = step1(tables, copy(params), copy(opt_state), mstate, ep, rng)
+    finally:
+        AC.set_early_exit(False)
+    assert np.allclose(float(logs0["loss"]), float(logs1["loss"]), atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_scan_early_exit_trajectories_identical(synth_world, synth_dataset, tokenizer):
+    """Eval-path equivalence: teacher-forced rollouts assemble the same
+    reference-format trajectories with the early exit on and off."""
+    from curriculum_learning_for_vln_tpu.agents import common as AC
+    from curriculum_learning_for_vln_tpu.agents.common import (
+        FEEDBACK_TEACHER, assemble_trajectories)
+
+    data = expand_r2r_items(synth_dataset, tokenizer)
+    henv = R2RBatchEnv(synth_world, data, batch_size=8, tokenizer=tokenizer, seed=9)
+    tables = synth_world.device_tables()
+    cfg = base_cfg("FOLLOWER")
+    cfg.AGENT.MAX_EPISODE_LEN = 14
+    agent = build_agent(cfg, tokenizer.vocab_size(), FEAT_DIM)
+    params, mstate = agent.init(jax.random.PRNGKey(0))
+    ep = henv.next_batch()
+    rng = jax.random.PRNGKey(5)
+
+    def run():
+        _, result, _ = agent.rollout(params, mstate, tables, ep, rng,
+                                     feedback=FEEDBACK_TEACHER, train=False)
+        return assemble_trajectories(synth_world, ep, result, data)
+
+    try:
+        AC.set_early_exit(False)
+        base = run()
+        AC.set_early_exit(True)
+        fast = run()
+    finally:
+        AC.set_early_exit(False)
+    assert base == fast
+
+
 def test_il_bucket_fn_selection(synth_world, synth_dataset, tokenizer):
     from curriculum_learning_for_vln_tpu.engine.trainer import il_bucket_fn
 

@@ -75,49 +75,18 @@ class EnvDropAgent:
         return params, {}
 
     # ------------------------------------------------------------------
-    def rollout(
-        self,
-        params: dict,
-        model_state: dict,
-        world: WorldTables,
-        ep: EpisodeBatch,
-        rng,
-        feedback: int,
-        train: bool,
-        avoid_cyclic: bool = False,
-        train_ml: bool = True,
-        train_rl: bool = False,
-        feat_mask: Optional[jnp.ndarray] = None,  # [D] shared noise (back-translation)
-        episode_len: Optional[int] = None,
-    ) -> Tuple[EnvDropLosses, C.RolloutResult, dict]:
-        if feedback != C.FEEDBACK_SAMPLE:
-            train_rl = False  # (ref: envdrop.py:100)
-        # bf16 compute copies: halves weight HBM traffic in the step chain
-        params = C.cast_compute_params(params, self.compute_dtype)
-        drop = self.cfg.DROP_RATE
-        fdrop = self.cfg.FEAT_DROP_RATE
-        rng, rng_enc = jax.random.split(rng)
-        ctx_mask = ep.instr_tokens == PAD_IDX
-        ctx, h0, c0 = encoder_apply(
-            params["encoder"], ep.instr_tokens, ep.instr_len, rng_enc, train, drop
-        )
-        B = ep.instr_tokens.shape[0]
+    def _build_decode(self, params, world, train, drop, fdrop, use_fused_obs,
+                      feat_mask=None):
+        """One decoder step with the text context passed explicitly —
+        shared by the per-batch rollout (ctx closed over) and the packed
+        rollout (ctx gathered per step from the episode pool)."""
         already_drop = feat_mask is not None
 
         def apply_feat_mask(feat):
             img, ang = feat[..., : -self.angle_feat_size], feat[..., -self.angle_feat_size:]
             return jnp.concatenate([img * feat_mask, ang], axis=-1)
 
-        # fused observation path (ops/fused_obs.py): the Pallas kernel
-        # streams feature rows and emits (vis, cand rows) directly, so the
-        # decode below never touches obs.pano_feat/obs.cand_feat and XLA
-        # dead-code-eliminates the [B, 36, D] gather+concat entirely
-        use_fused_obs = (
-            not already_drop
-            and fused_obs.enabled_for(world.features, self.compute_dtype)
-        )
-
-        def decode(mc, obs, state, rng_t):
+        def decode(mc, ctx, ctx_mask, obs, state, rng_t):
             h, c, h_tilde = mc
             a_t_angle = make_angle_feat(state.heading, state.elevation)
             if use_fused_obs:
@@ -148,6 +117,115 @@ class EnvDropAgent:
                 self.angle_feat_size, already_dropfeat=already_drop,
             )
             return logits, (h1, c1, h_tilde_new), h1
+
+        return decode
+
+    # ------------------------------------------------------------------
+    def rollout_packed(
+        self,
+        params: dict,
+        model_state: dict,
+        world: WorldTables,
+        pool: EpisodeBatch,   # N = factor * B episodes, all valid
+        rng,
+        batch_size: int,
+        feat_mask: Optional[jnp.ndarray] = None,
+        episode_len: Optional[int] = None,
+    ):
+        """Packed sampled-RL rollout over an episode pool (continuous
+        batching — agents/packed.py).  Returns (PackedLosses, PackedResult).
+
+        With N == B this computes the exact unpacked `rollout(train_rl=True)`
+        A2C loss (asserted in tests/test_packed.py); with N > B ended slots
+        refill immediately, so one dispatch completes ~N/B x the episodes.
+        The rng call structure deliberately mirrors `rollout` line for
+        line so the two stay comparable."""
+        from .packed import packed_a2c, packed_rollout_scan
+
+        params = C.cast_compute_params(params, self.compute_dtype)
+        drop = self.cfg.DROP_RATE
+        fdrop = self.cfg.FEAT_DROP_RATE
+        rng, rng_enc = jax.random.split(rng)
+        ctx_mask_pool = pool.instr_tokens == PAD_IDX
+        ctx_pool, h0_pool, c0_pool = encoder_apply(
+            params["encoder"], pool.instr_tokens, pool.instr_len, rng_enc, True, drop
+        )
+        use_fused_obs = (
+            feat_mask is None
+            and fused_obs.enabled_for(world.features, self.compute_dtype)
+        )
+        decode = self._build_decode(params, world, True, drop, fdrop,
+                                    use_fused_obs, feat_mask)
+        result = packed_rollout_scan(
+            world, pool, rng, ctx_pool, ctx_mask_pool, h0_pool, c0_pool,
+            decode, batch_size, episode_len or self.episode_len,
+            compute_dtype=self.compute_dtype,
+        )
+
+        # A2C tail, mirroring rollout() (ref: envdrop.py:222-264)
+        rng, rng_last, rng_crit = jax.random.split(rng, 3)
+        last_obs = E2.observe(world, result.final_state)
+        ctx_last = ctx_pool[result.final_slot_ep]
+        cmask_last = ctx_mask_pool[result.final_slot_ep]
+        _, _, last_h = decode(result.final_carry, ctx_last, cmask_last,
+                              last_obs, result.final_state, rng_last)
+        last_value = jax.lax.stop_gradient(
+            D.critic_apply(params["critic"], last_h, rng_crit, True, drop)
+        )
+        T = result.steps.reward.shape[0]
+        crit_rngs = jax.random.split(jax.random.fold_in(rng, 7), T)
+        values = jax.vmap(
+            lambda h, r: D.critic_apply(params["critic"], h, r, True, drop)
+        )(result.steps.hidden[::-1], crit_rngs)
+
+        losses = packed_a2c(result, values, last_value, self.cfg.GAMMA,
+                            self.cfg.RL_NORMALIZE, ctx_pool.shape[0])
+        return losses, result
+
+    # ------------------------------------------------------------------
+    def rollout(
+        self,
+        params: dict,
+        model_state: dict,
+        world: WorldTables,
+        ep: EpisodeBatch,
+        rng,
+        feedback: int,
+        train: bool,
+        avoid_cyclic: bool = False,
+        train_ml: bool = True,
+        train_rl: bool = False,
+        feat_mask: Optional[jnp.ndarray] = None,  # [D] shared noise (back-translation)
+        episode_len: Optional[int] = None,
+    ) -> Tuple[EnvDropLosses, C.RolloutResult, dict]:
+        if feedback != C.FEEDBACK_SAMPLE:
+            train_rl = False  # (ref: envdrop.py:100)
+        # bf16 compute copies: halves weight HBM traffic in the step chain
+        params = C.cast_compute_params(params, self.compute_dtype)
+        drop = self.cfg.DROP_RATE
+        fdrop = self.cfg.FEAT_DROP_RATE
+        rng, rng_enc = jax.random.split(rng)
+        ctx_mask = ep.instr_tokens == PAD_IDX
+        ctx, h0, c0 = encoder_apply(
+            params["encoder"], ep.instr_tokens, ep.instr_len, rng_enc, train, drop
+        )
+        B = ep.instr_tokens.shape[0]
+        already_drop = feat_mask is not None
+
+        # fused observation path (ops/fused_obs.py): the Pallas kernel
+        # streams feature rows and emits (vis, cand rows) directly, so the
+        # decode below never touches obs.pano_feat/obs.cand_feat and XLA
+        # dead-code-eliminates the [B, 36, D] gather+concat entirely
+        use_fused_obs = (
+            not already_drop
+            and fused_obs.enabled_for(world.features, self.compute_dtype)
+        )
+
+        decode_cc = self._build_decode(params, world, train, drop, fdrop,
+                                       use_fused_obs, feat_mask)
+
+        def decode(mc, obs, state, rng_t):
+            return decode_cc(mc, ctx, ctx_mask, obs, state, rng_t)
 
         def model_step(mc, obs, state, rng_t, t):
             logits, mc2, h1 = decode(mc, obs, state, rng_t)

@@ -83,6 +83,9 @@ class AutoCurriculum(ClassicTrainer):
     observed per-iteration losses (fetched once, pipelining preserved)
     feed the bandit as per-arm loss-decrease rewards."""
 
+    def supports_packed_rl(self) -> bool:
+        return False  # bandit rewards attribute one loss per drawn batch
+
     def __init__(self, eta: float = 0.1, eps: float = 0.05, alpha: float = 0.001,
                  beta: float = 0.2, rrsize: int = 100, seed: int = 0):
         self._cfg = dict(eta=eta, eps=eps, alpha=alpha, beta=beta, rrsize=rrsize,

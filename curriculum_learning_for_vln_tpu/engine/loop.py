@@ -247,6 +247,64 @@ def stack_batches(batches):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
 
 
+def concat_batches(batches):
+    """Concatenate R EpisodeBatches along the batch axis (the episode pool
+    for packed RL rollouts, agents/packed.py)."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, axis=0), *batches)
+
+
+def build_packed_train_step(
+    agent,
+    optimizer: optax.GradientTransformation,
+    progmonitor_weight: float = 0.5,
+) -> Callable:
+    """Compiled packed-RL training step (TPU.PACKED_RL, ENVDROP only):
+    (tables, params, opt_state, model_state, ep, pool, rng[, il_len])
+    -> (params, opt_state, model_state, metrics).
+
+    The IL term runs teacher-forced on ``ep`` exactly as build_train_step;
+    the RL term runs the packed rollout over ``pool`` (factor * B episodes,
+    continuous batching — agents/packed.py), so one update's RL arm sees
+    ~factor x the episodes at ~1x rollout cost.  Deliberate capability
+    deviation from the reference's fixed-batch iteration (documented in
+    PARITY.md); classic/naive trainers only."""
+    assert agent.name == "ENVDROP", "packed RL is implemented for ENVDROP"
+
+    def one_iter(tables, params, opt_state, model_state, ep, pool, rng,
+                 il_len=None):
+        B = ep.instr_tokens.shape[0]
+
+        def loss_fn(p):
+            rng_il, rng_rl = jax.random.split(rng)
+            il, _, ms = agent.rollout(
+                p, model_state, tables, ep, rng_il,
+                feedback=FEEDBACK_TEACHER, train=True, train_ml=True,
+                train_rl=False, episode_len=il_len,
+            )
+            rl, _ = agent.rollout_packed(
+                p, model_state, tables, pool, rng_rl, batch_size=B)
+            total = il.ml_loss + rl.rl_loss
+            logs = {
+                "loss": total,
+                "ml_loss": il.ml_loss,
+                "rl_loss": rl.rl_loss,
+                "entropy": rl.entropy_sum,
+                "critic_loss": rl.critic_loss_sum,
+                "total_actions": rl.total_actions,
+                "episodes_done": rl.episodes_done,
+                "episodes_started": rl.episodes_started,
+            }
+            return total, (logs, ms)
+
+        (loss, (logs, ms)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        grads = clip_submodule_grads(grads, ("encoder", "decoder"), 40.0)
+        updates, opt_state2 = optimizer.update(grads, opt_state, params)
+        params2 = optax.apply_updates(params, updates)
+        return params2, opt_state2, ms, logs
+
+    return jax.jit(one_iter, donate_argnums=(1, 2), static_argnames=("il_len",))
+
+
 def build_eval_rollout(agent) -> Callable:
     """Compiled argmax eval rollout: (tables, params, model_state, ep, rng)
     -> result."""
@@ -343,7 +401,7 @@ def warmup_variants(cfg, agent, train_step, eval_rollout, il_bucket, env,
     cp = lambda t: jax.tree_util.tree_map(jnp.array, t)
 
     thunks = [lambda: eval_rollout(tables, params, model_state, ep, wrng)]
-    for il in ils:
+    for il in ils if train_step is not None else []:
         def t_step(il=il, p=cp(params), o=cp(opt_state)):
             a = (tables, p, o, model_state, ep, wrng, w) if weighted \
                 else (tables, p, o, model_state, ep, wrng)

@@ -25,7 +25,8 @@ from ..parallel import mesh as M
 from ..utils.logging_utils import ScalarWriter, clean_dir, prettyprint
 from .checkpoint import load_checkpoint, save_checkpoint, wait_for_checkpoints
 from .evaluator import Evaluation
-from .loop import (build_eval_rollout, build_scanned_train_step, build_train_step,
+from .loop import (build_eval_rollout, build_packed_train_step,
+                   build_scanned_train_step, build_train_step, concat_batches,
                    configure_tpu_runtime, make_optimizer, run_eval, stack_batches,
                    warmup_variants)
 
@@ -134,6 +135,13 @@ class ClassicTrainer:
         """Post-epoch hook receiving the per-iteration losses in draw
         order (bandit reward feedback; syncs stay batched per epoch)."""
 
+    def supports_packed_rl(self) -> bool:
+        """Whether TPU.PACKED_RL may replace this trainer's iteration.
+        AutoCurriculum overrides to False: its bandit attributes one
+        reward per drawn batch, which a multi-batch packed iteration
+        would misalign."""
+        return True
+
     def curriculum_state(self):
         """Curriculum state to embed in checkpoints (None = stateless).
         SPCL overrides in its own trainer; AutoCurriculum persists the
@@ -193,6 +201,21 @@ class ClassicTrainer:
             start_epoch = bundle.get("epoch", 0) + 1
 
         scan_iters = getattr(cfg.TPU, "SCAN_ITERS", 1) if hasattr(cfg, "TPU") else 1
+        # packed RL (continuous batching, agents/packed.py): each iteration
+        # draws `packed` batches; the RL arm rolls them out as one pool
+        packed = getattr(cfg.TPU, "PACKED_RL", 0) if hasattr(cfg, "TPU") else 0
+        if packed >= 2 and (agent.name != "ENVDROP"
+                            or cfg.AGENT.FEEDBACK != "sample"
+                            or not self.supports_packed_rl()
+                            or scan_iters > 1):
+            logger.info("TPU.PACKED_RL=%d ignored (needs ENVDROP + sample "
+                        "feedback, a classic/naive trainer, SCAN_ITERS=1)",
+                        packed)
+            packed = 0
+        if packed >= 2:
+            packed_step = build_packed_train_step(
+                agent, optimizer,
+                progmonitor_weight=train_cfg.PROGMONITOR_WEIGHT)
         if scan_iters > 1:
             scan_step = build_scanned_train_step(
                 agent, optimizer, cfg.AGENT.FEEDBACK,
@@ -206,7 +229,12 @@ class ClassicTrainer:
         # overlap the server-side first-execution compiles of every
         # program variant this run will dispatch (~5.6x cold-start cut
         # through the relay; loop.py::parallel_warmup)
-        warmup_variants(cfg, agent, train_step, eval_rollout, il_bucket,
+        if packed >= 2:
+            logger.info("TPU.PACKED_RL=%d: packed iteration compiles at "
+                        "first dispatch (warmup covers the eval rollout)", packed)
+        warmup_variants(cfg, agent,
+                        None if packed >= 2 else train_step,
+                        eval_rollout, il_bucket,
                         first_env, tables, params, opt_state, model_state, rng,
                         scan_step=scan_step if scan_iters > 1 else None,
                         scan_iters=scan_iters, logger=logger)
@@ -249,7 +277,23 @@ class ClassicTrainer:
             with profile_ctx:
                 it = 0
                 while it < iters:
-                    if scan_iters > 1 and iters - it >= scan_iters:
+                    if packed >= 2:
+                        # packed RL: the IL arm trains on the first batch,
+                        # the RL arm rolls all `packed` batches out as one
+                        # continuously-refilled pool (agents/packed.py)
+                        env_i = self.iter_env(epoch_env, train_env)
+                        raws = [env_i.next_batch()]
+                        il_len = il_bucket(env_i)
+                        for _ in range(packed - 1):
+                            raws.append(env_i.next_batch())
+                        pool = concat_batches(raws)
+                        rng, rng_it = jax.random.split(rng)
+                        params, opt_state, model_state, logs = packed_step(
+                            tables, params, opt_state, model_state, raws[0],
+                            pool, rng_it, il_len=il_len)
+                        log_entries.append(logs)
+                        it += 1
+                    elif scan_iters > 1 and iters - it >= scan_iters:
                         raw, il_lens = [], []
                         for _ in range(scan_iters):
                             env_i = self.iter_env(epoch_env, train_env)

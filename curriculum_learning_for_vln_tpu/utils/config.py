@@ -279,6 +279,10 @@ _C.TPU.SCAN_UNROLL = 1                     # rollout-scan unroll factor (op-coun
 _C.TPU.SCAN_EARLY_EXIT = False             # skip all-ended rollout steps via lax.cond
 #                                            (reference breaks its loop there,
 #                                            follower.py:168; parity: tests/test_knobs.py)
+_C.TPU.PACKED_RL = 0                       # packed-RL pool factor (0/1 = off): refill
+#                                            ended slots from a factor*B episode pool
+#                                            inside the rollout scan (agents/packed.py;
+#                                            ENVDROP + sample feedback, classic/naive)
 _C.TPU.COMPILATION_CACHE = ".jax_cache"    # persistent XLA compile cache dir ("" = off)
 _C.TPU.PARALLEL_WARMUP = True              # overlap server-side first-execution compiles
 #                                            of all program variants at trainer startup

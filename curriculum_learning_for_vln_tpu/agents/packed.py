@@ -136,8 +136,27 @@ def packed_rollout_scan(
         next_ptr2 = next_ptr + jnp.sum(can.astype(jnp.int32))
         return (state3, mc3, ids, next_ptr2, rng), rec
 
+    scan_step = step
+    if C._EARLY_EXIT:
+        # after the pool is exhausted the batch can go fully dead exactly
+        # like an unpacked rollout — reuse the TPU.SCAN_EARLY_EXIT frozen
+        # branch for that tail (same trick as common.rollout_scan)
+        rec_sd = jax.eval_shape(step, (state0, mc0, ids0, jnp.int32(B), rng),
+                                jnp.int32(0))[1]
+
+        def frozen_step(carry, t):
+            slot_ep = carry[2]
+            rec = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), rec_sd
+            )._replace(slot_ep=slot_ep)
+            return carry, rec
+
+        def scan_step(carry, t):
+            any_alive = jnp.logical_not(jnp.all(carry[0].ended))
+            return jax.lax.cond(any_alive, step, frozen_step, carry, t)
+
     (final_state, mc, final_ids, next_ptr, _), steps = jax.lax.scan(
-        step, (state0, mc0, ids0, jnp.int32(B), rng), jnp.arange(episode_len))
+        scan_step, (state0, mc0, ids0, jnp.int32(B), rng), jnp.arange(episode_len))
     return PackedResult(
         steps=steps,
         final_state=final_state,

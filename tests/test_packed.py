@@ -145,6 +145,36 @@ def test_packed_episode_attribution(setup):
     assert np.allclose(vec.sum(), float(losses.rl_loss), rtol=1e-4, atol=1e-5)
 
 
+def test_packed_early_exit_identical(setup):
+    """TPU.SCAN_EARLY_EXIT composes with the packed scan: once the pool is
+    exhausted and every slot is dead, steps are skipped — loss and grads
+    must match the no-exit packed run."""
+    from curriculum_learning_for_vln_tpu.agents import common as AC
+
+    henv, tables, agent, params, mstate = setup
+    # small pool (factor 2) + generous horizon so the exhausted-pool tail
+    # actually goes all-dead within the scan
+    raws = [henv.next_batch() for _ in range(2)]
+    pool = concat_batches(raws)
+    rng = jax.random.PRNGKey(17)
+
+    def loss_fn(p):
+        rl, _ = agent.rollout_packed(p, mstate, tables, pool, rng,
+                                     batch_size=8, episode_len=40)
+        return rl.rl_loss
+
+    try:
+        AC.set_early_exit(False)
+        l0, g0 = jax.jit(jax.value_and_grad(loss_fn))(params)
+        AC.set_early_exit(True)
+        l1, g1 = jax.jit(jax.value_and_grad(loss_fn))(params)
+    finally:
+        AC.set_early_exit(False)
+    assert np.allclose(float(l0), float(l1), atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
 def test_packed_trainer_smoke(synth_world, synth_dataset, tokenizer, tmp_path):
     """TPU.PACKED_RL=3 drives ClassicTrainer end-to-end (2 epochs)."""
     from curriculum_learning_for_vln_tpu.engine.trainer import ClassicTrainer

@@ -55,8 +55,12 @@ def set_scan_unroll(n: int) -> None:
 # step with a frozen record whose loss-visible fields are exactly what
 # the live step produces for an all-ended batch (zeros / IGNORE / same
 # node); XLA lowers the branch to a runtime conditional so dead steps
-# cost ~nothing.  Update-equality with the flag off is asserted in
-# tests/test_knobs.py.
+# cost ~nothing.  Update-equality (params) with the flag off is asserted
+# in tests/test_knobs.py.  One deliberate state difference: SELF-MONITOR's
+# BatchNorm running stats stop accumulating on all-dead steps — which is
+# what the reference does too (its Python loop breaks at follower.py:168,
+# so its BN never sees dead steps); the flag-OFF fixed-length scan is the
+# variant that deviates there.
 _EARLY_EXIT = False
 
 

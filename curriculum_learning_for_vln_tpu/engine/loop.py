@@ -44,15 +44,13 @@ def configure_tpu_runtime(cfg) -> None:
         os.makedirs(os.path.expanduser(cache_dir), exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", os.path.expanduser(cache_dir))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    unroll = int(getattr(tpu_cfg, "SCAN_UNROLL", 1))
-    if unroll != 1:
-        from ..agents import common as _agents_common
+    # set the rollout-scan globals UNCONDITIONALLY: a second trainer.train()
+    # in the same process with the knobs off must not inherit the previous
+    # run's values
+    from ..agents import common as _agents_common
 
-        _agents_common.set_scan_unroll(unroll)
-    if bool(getattr(tpu_cfg, "SCAN_EARLY_EXIT", False)):
-        from ..agents import common as _agents_common
-
-        _agents_common.set_early_exit(True)
+    _agents_common.set_scan_unroll(int(getattr(tpu_cfg, "SCAN_UNROLL", 1)))
+    _agents_common.set_early_exit(bool(getattr(tpu_cfg, "SCAN_EARLY_EXIT", False)))
     if tpu_cfg.USE_PALLAS and jax.default_backend() == "tpu":
         from ..ops import fused_obs, rnn
 
@@ -256,7 +254,6 @@ def concat_batches(batches):
 def build_packed_train_step(
     agent,
     optimizer: optax.GradientTransformation,
-    progmonitor_weight: float = 0.5,
 ) -> Callable:
     """Compiled packed-RL training step (TPU.PACKED_RL, ENVDROP only):
     (tables, params, opt_state, model_state, ep, pool, rng[, il_len])

@@ -213,9 +213,7 @@ class ClassicTrainer:
                         packed)
             packed = 0
         if packed >= 2:
-            packed_step = build_packed_train_step(
-                agent, optimizer,
-                progmonitor_weight=train_cfg.PROGMONITOR_WEIGHT)
+            packed_step = build_packed_train_step(agent, optimizer)
         if scan_iters > 1:
             scan_step = build_scanned_train_step(
                 agent, optimizer, cfg.AGENT.FEEDBACK,

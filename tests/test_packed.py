@@ -102,7 +102,10 @@ def test_packed_refill_invariants(setup):
     for eid in range(N):
         hits = [(t, b) for t in range(T) for b in range(B) if slot_ep[t, b] == eid]
         if not hits:
-            assert eid >= started or eid < 8, eid  # slot-0 ids always appear
+            # never started, or legitimately assigned on the final scan
+            # step (refill happens after the record is emitted, so such an
+            # episode records zero steps); the initial B ids always appear
+            assert eid >= 8, eid
             continue
         slots = {b for _, b in hits}
         assert len(slots) == 1, f"episode {eid} ran in slots {slots}"

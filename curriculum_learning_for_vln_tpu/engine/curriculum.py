@@ -33,7 +33,8 @@ from ..parallel import mesh as M
 from ..utils.logging_utils import ScalarWriter, clean_dir, prettyprint
 from .checkpoint import load_checkpoint, save_checkpoint
 from .evaluator import Evaluation
-from .loop import (build_eval_rollout, build_scanned_train_step, build_train_step,
+from .loop import (build_eval_rollout, build_packed_train_step,
+                   build_scanned_train_step, build_train_step, concat_batches,
                    configure_tpu_runtime, make_optimizer, run_eval, stack_batches,
                    warmup_variants)
 from .trainer import ClassicTrainer, dedup_by_path, il_bucket_fn, setup_mesh
@@ -185,6 +186,16 @@ class SelfPacedCurriculum:
             progmonitor_weight=train_cfg.PROGMONITOR_WEIGHT, weighted=True,
         )
         scan_iters = getattr(cfg.TPU, "SCAN_ITERS", 1) if hasattr(cfg, "TPU") else 1
+        # packed RL under SPCL (TPU.PACKED_RL): weighted objective extends
+        # dot(w, ml+rl) to dot(w_il, ml_vec) + dot(w_pool, rl_per_episode)
+        packed = getattr(cfg.TPU, "PACKED_RL", 0) if hasattr(cfg, "TPU") else 0
+        if packed >= 2 and (agent.name != "ENVDROP"
+                            or cfg.AGENT.FEEDBACK != "sample" or scan_iters > 1):
+            logger.info("TPU.PACKED_RL=%d ignored under SPCL (needs ENVDROP + "
+                        "sample feedback, SCAN_ITERS=1)", packed)
+            packed = 0
+        if packed >= 2:
+            packed_step = build_packed_train_step(agent, optimizer, weighted=True)
         if scan_iters > 1:
             scan_step = build_scanned_train_step(
                 agent, optimizer, cfg.AGENT.FEEDBACK,
@@ -233,6 +244,27 @@ class SelfPacedCurriculum:
                         loss_for_item = _record_item_losses(
                             loss_for_item, idx_stack[k], slogs["loss_per_sample"][k])
                     it += scan_iters
+                elif packed >= 2:
+                    raws = [train_env.next_batch()]
+                    idx = jnp.asarray(train_env.cur_batch_index)
+                    il_len = il_bucket(train_env)
+                    pool_idx = [np.asarray(train_env.cur_batch_index)]
+                    for _ in range(packed - 1):
+                        raws.append(train_env.next_batch())
+                        pool_idx.append(np.asarray(train_env.cur_batch_index))
+                    pool = concat_batches(raws)
+                    w_il = jax.device_put(self.weight[idx], batch_sh)
+                    # device-side gather (a host np.asarray here would force
+                    # a per-iteration device sync)
+                    w_pool = self.weight[jnp.asarray(np.concatenate(pool_idx))]
+                    rng, rng_it = jax.random.split(rng)
+                    params, opt_state, model_state, logs = packed_step(
+                        tables, params, opt_state, model_state, raws[0], pool,
+                        rng_it, w_il, w_pool, il_len=il_len)
+                    device_losses.append(logs["loss"])
+                    # per-item record for the IL batch (refresh rate 1/packed)
+                    loss_for_item = _record_item_losses(loss_for_item, idx, logs["loss_per_sample"])
+                    it += 1
                 else:
                     batch = train_env.next_batch()
                     idx = jnp.asarray(train_env.cur_batch_index)

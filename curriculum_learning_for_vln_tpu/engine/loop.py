@@ -254,21 +254,28 @@ def concat_batches(batches):
 def build_packed_train_step(
     agent,
     optimizer: optax.GradientTransformation,
+    weighted: bool = False,
 ) -> Callable:
     """Compiled packed-RL training step (TPU.PACKED_RL, ENVDROP only):
-    (tables, params, opt_state, model_state, ep, pool, rng[, il_len])
-    -> (params, opt_state, model_state, metrics).
+    (tables, params, opt_state, model_state, ep, pool, rng[, w_il, w_pool]
+    [, il_len]) -> (params, opt_state, model_state, metrics).
 
     The IL term runs teacher-forced on ``ep`` exactly as build_train_step;
     the RL term runs the packed rollout over ``pool`` (factor * B episodes,
     continuous batching — agents/packed.py), so one update's RL arm sees
     ~factor x the episodes at ~1x rollout cost.  Deliberate capability
     deviation from the reference's fixed-batch iteration (documented in
-    PARITY.md); classic/naive trainers only."""
+    PARITY.md).
+
+    ``weighted`` (SPCL): the objective extends the reference's
+    ``dot(w, ml_vec + rl_vec)`` (curriculum.py:294-296) to the packed
+    shape — ``dot(w_il, ml_vec) + dot(w_pool, rl_vec_per_episode)`` with
+    ``w_pool`` the SPCL weights gathered for every pool episode.  With
+    all-ones weights this equals the unweighted total (tested)."""
     assert agent.name == "ENVDROP", "packed RL is implemented for ENVDROP"
 
     def one_iter(tables, params, opt_state, model_state, ep, pool, rng,
-                 il_len=None):
+                 w_il=None, w_pool=None, il_len=None):
         B = ep.instr_tokens.shape[0]
 
         def loss_fn(p):
@@ -280,11 +287,18 @@ def build_packed_train_step(
             )
             rl, _ = agent.rollout_packed(
                 p, model_state, tables, pool, rng_rl, batch_size=B)
-            total = il.ml_loss + rl.rl_loss
+            ml_vec = il.ml_loss_per_sample
+            if w_il is None:
+                total = il.ml_loss + rl.rl_loss
+            else:
+                total = jnp.dot(w_il, ml_vec) + jnp.dot(w_pool,
+                                                        rl.rl_loss_per_episode)
             logs = {
                 "loss": total,
                 "ml_loss": il.ml_loss,
                 "rl_loss": rl.rl_loss,
+                # SPCL per-item record for the IL batch (ref: curriculum.py:313)
+                "loss_per_sample": ml_vec * ml_vec.shape[0],
                 "entropy": rl.entropy_sum,
                 "critic_loss": rl.critic_loss_sum,
                 "total_actions": rl.total_actions,
@@ -299,7 +313,10 @@ def build_packed_train_step(
         params2 = optax.apply_updates(params, updates)
         return params2, opt_state2, ms, logs
 
-    return jax.jit(one_iter, donate_argnums=(1, 2), static_argnames=("il_len",))
+    if weighted:
+        return jax.jit(one_iter, donate_argnums=(1, 2), static_argnames=("il_len",))
+    return jax.jit(functools.partial(one_iter, w_il=None, w_pool=None),
+                   donate_argnums=(1, 2), static_argnames=("il_len",))
 
 
 def build_eval_rollout(agent) -> Callable:

@@ -289,7 +289,8 @@ class ClassicTrainer:
                         params, opt_state, model_state, logs = packed_step(
                             tables, params, opt_state, model_state, raws[0],
                             pool, rng_it, il_len=il_len)
-                        log_entries.append(logs)
+                        log_entries.append({k: v for k, v in logs.items()
+                                            if k != "loss_per_sample"})
                         it += 1
                     elif scan_iters > 1 and iters - it >= scan_iters:
                         raw, il_lens = [], []

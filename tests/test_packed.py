@@ -178,6 +178,69 @@ def test_packed_early_exit_identical(setup):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
+def test_packed_weighted_ones_matches_unweighted(setup):
+    """SPCL-weighted packed step with all-ones weights reproduces the
+    unweighted total: dot(1, ml_vec) == ml_loss and
+    dot(1, rl_per_episode) == rl_loss."""
+    from curriculum_learning_for_vln_tpu.engine.loop import (
+        build_packed_train_step, make_optimizer)
+
+    henv, tables, agent, params, mstate = setup
+    raws = [henv.next_batch() for _ in range(2)]
+    pool = concat_batches(raws)
+    N = int(pool.valid.shape[0])
+    opt = make_optimizer("sgd", 1e-2)
+    rng = jax.random.PRNGKey(19)
+    copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
+
+    step_u = build_packed_train_step(agent, opt)
+    step_w = build_packed_train_step(agent, opt, weighted=True)
+    p0, _, _, logs0 = step_u(tables, copy(params), opt.init(params), mstate,
+                             raws[0], pool, rng)
+    p1, _, _, logs1 = step_w(tables, copy(params), opt.init(params), mstate,
+                             raws[0], pool, rng,
+                             jnp.ones(8), jnp.ones(N))
+    assert np.allclose(float(logs0["loss"]), float(logs1["loss"]), atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    # zero weights kill the update entirely (grads of a 0 objective)
+    p2, _, _, logs2 = step_w(tables, copy(params), opt.init(params), mstate,
+                             raws[0], pool, rng,
+                             jnp.zeros(8), jnp.zeros(N))
+    assert float(logs2["loss"]) == 0.0
+    for a, b in zip(jax.tree_util.tree_leaves(p2), jax.tree_util.tree_leaves(params)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_packed_spcl_trainer_smoke(synth_world, synth_dataset, tokenizer, tmp_path):
+    """TPU.PACKED_RL=2 drives the SPCL trainer (CLR2R rounds, weighted
+    packed objective) end-to-end."""
+    from curriculum_learning_for_vln_tpu import engine
+    from curriculum_learning_for_vln_tpu.env.host_env import CLR2RBatchEnv
+
+    data = expand_r2r_items(synth_dataset, tokenizer)
+    cfg = envdrop_cfg()
+    cfg.DATA.NAME = "CLR2R"
+    cfg.TRAIN.CLMODE = "SELF-PACE"
+    cfg.TPU.PACKED_RL = 2
+    cfg.TRAIN.MAX_EPOCH = 2
+    cfg.TRAIN.ITER_PER_EPOCH = 2
+    cfg.TRAIN.BATCH_SIZE = 8
+    cfg.TRAIN.EVAL_INTERVAL = 2
+    cfg.AGENT.FEEDBACK = "sample"
+    cfg.OUTPUT.CKPT_DIR = str(tmp_path / "ckpt")
+    # 5 synthetic rounds: slice the expanded data
+    rounds = {f"round_{k}": data[(k - 1) * 12: k * 12] for k in range(1, 6)}
+    train_env = CLR2RBatchEnv(synth_world, rounds, 8, 1.0, tokenizer, seed=3)
+    valid_env = {
+        "val_unseen": R2RBatchEnv(synth_world, data[18:36], batch_size=6,
+                                  tokenizer=tokenizer, seed=4),
+    }
+    agent = build_agent(cfg, tokenizer.vocab_size(), FEAT_DIM)
+    trainer = engine.SelfPacedCurriculum(train_env, interval=1, burn_in=1)
+    trainer.train(cfg, agent, None, train_env, valid_env, seed=5)
+
+
 def test_packed_trainer_smoke(synth_world, synth_dataset, tokenizer, tmp_path):
     """TPU.PACKED_RL=3 drives ClassicTrainer end-to-end (2 epochs)."""
     from curriculum_learning_for_vln_tpu.engine.trainer import ClassicTrainer

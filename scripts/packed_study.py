@@ -32,14 +32,18 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ARMS = ("base", "packed3", "exit")
+SPCL_ARMS = ("spcl", "spcl-packed3")  # flagship curriculum config
 
 
 def make_cfg(seed: int, epochs: int, tmp: str, arm: str):
     from curriculum_learning_for_vln_tpu.utils.config import get_cfg_defaults
 
     cfg = get_cfg_defaults()
+    yaml = "envdrop_cl_config.yaml" if arm.startswith("spcl") else "envdrop_config.yaml"
     cfg.merge_from_file(os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "configs", "envdrop", "envdrop_config.yaml"))
+        os.path.abspath(__file__))), "configs", "envdrop", yaml))
+    if arm.startswith("spcl"):
+        cfg.TRAIN.CLMODE = "SELF-PACE"
     cfg.DATA.MAX_ENC_LEN = 40
     cfg.AGENT.MAX_EPISODE_LEN = 15
     cfg.TRAIN.BATCH_SIZE = 32
@@ -49,7 +53,7 @@ def make_cfg(seed: int, epochs: int, tmp: str, arm: str):
     cfg.TPU.SYNTHETIC_WORLD = True
     cfg.TPU.SYNTHETIC_SCANS = 6
     cfg.TPU.SYNTHETIC_NODES = 48
-    if arm == "packed3":
+    if arm.endswith("packed3"):
         cfg.TPU.PACKED_RL = 3
     if arm == "exit":
         cfg.TPU.SCAN_EARLY_EXIT = True
@@ -73,7 +77,14 @@ def run_one(arm: str, seed: int, epochs: int, tmp: str) -> dict:
     world, train_env, valid_env, feat_dim = pipeline.build_environments(
         cfg, tok, seed=2020)
     agent = build_agent(cfg, tok.vocab_size(), feat_dim)
-    trainer = engine.ClassicTrainer()
+    if arm.startswith("spcl"):
+        sp = cfg.TRAIN.SELF_PACE
+        trainer = engine.SelfPacedCurriculum(
+            train_env, pace_func=sp.FUNC, init_lamb=sp.LAMB,
+            init_weight_ctrl=sp.WCTRL, miu=sp.MIU, interval=sp.INTERVAL,
+            strategy=sp.STRATEGY, burn_in=sp.BURN_IN)
+    else:
+        trainer = engine.ClassicTrainer()
     t0 = time.time()
     try:
         params, mstate, best = trainer.train(

@@ -248,15 +248,21 @@ def rollout_scan(
 
         def frozen_step(carry, t):
             state = carry[0]
+            dist_now = jnp.take_along_axis(
+                world.dist[state.node], state.goal_local[:, None], axis=1
+            )[:, 0].astype(rec_sd.dist_after.dtype)
             rec = jax.tree_util.tree_map(
                 lambda s: jnp.zeros(s.shape, s.dtype), rec_sd
             )._replace(
                 # frozen env semantics: the node sticks, nothing moves,
-                # teacher is IGNORE — identical to what live_step records
-                # for a batch whose episodes have all ended
+                # teacher is IGNORE, dist_after is the (unchanged) distance
+                # to goal — identical to what live_step records for a batch
+                # whose episodes have all ended, so even an unmasked
+                # consumer reads the same values on dead tails
                 node_after=state.node,
                 view_after=state.view_idx,
                 teacher=jnp.full_like(state.node, E.IGNORE_ID),
+                dist_after=dist_now,
             )
             return carry, rec
 

@@ -76,7 +76,10 @@ def _gather_rows(tree, ids: jnp.ndarray):
 
 def packed_rollout_scan(
     world: WorldTables,
-    pool: EpisodeBatch,            # N episodes, all valid (trainer guarantees)
+    pool: EpisodeBatch,            # N episodes, ALL valid — trainers verify
+                                   # once via engine.loop.check_pool_valid
+                                   # (a padding episode would be refilled
+                                   # born-ended and skew utilization)
     rng,
     ctx_pool: jnp.ndarray,         # [N, L, H] encoder outputs
     ctx_mask_pool: jnp.ndarray,    # [N, L] bool padding mask

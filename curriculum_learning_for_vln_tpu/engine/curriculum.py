@@ -34,9 +34,9 @@ from ..utils.logging_utils import ScalarWriter, clean_dir, prettyprint
 from .checkpoint import load_checkpoint, save_checkpoint
 from .evaluator import Evaluation
 from .loop import (build_eval_rollout, build_packed_train_step,
-                   build_scanned_train_step, build_train_step, concat_batches,
-                   configure_tpu_runtime, make_optimizer, run_eval, stack_batches,
-                   warmup_variants)
+                   build_scanned_train_step, build_train_step, check_pool_valid,
+                   concat_batches, configure_tpu_runtime, make_optimizer,
+                   run_eval, stack_batches, warmup_variants)
 from .trainer import ClassicTrainer, dedup_by_path, il_bucket_fn, setup_mesh
 
 logger = logging.getLogger("main.curriculum")
@@ -202,8 +202,11 @@ class SelfPacedCurriculum:
                 progmonitor_weight=train_cfg.PROGMONITOR_WEIGHT, weighted=True)
         eval_rollout = build_eval_rollout(agent)
         il_bucket = il_bucket_fn(cfg, agent)
-        # overlap server-side first-execution compiles (weighted variants)
-        warmup_variants(cfg, agent, train_step, eval_rollout, il_bucket,
+        # overlap server-side first-execution compiles (weighted variants);
+        # a packed run never dispatches the per-batch weighted step, so
+        # don't burn server-side compiles on it (mirrors ClassicTrainer)
+        warmup_variants(cfg, agent, None if packed >= 2 else train_step,
+                        eval_rollout, il_bucket,
                         train_env, tables, params, opt_state, model_state, rng,
                         scan_step=scan_step if scan_iters > 1 else None,
                         scan_iters=scan_iters, weighted=True, logger=logger)
@@ -216,6 +219,7 @@ class SelfPacedCurriculum:
         os.makedirs(output_ckpt_dir, exist_ok=True)
         iters = max_iters_override or train_cfg.ITER_PER_EPOCH
         start_time = last_time = time.time()
+        pool_checked = False  # packed-pool contract checked once per run
 
         for ep in range(start_epoch, train_cfg.MAX_EPOCH + 1):
             device_losses = []
@@ -253,6 +257,9 @@ class SelfPacedCurriculum:
                         raws.append(train_env.next_batch())
                         pool_idx.append(np.asarray(train_env.cur_batch_index))
                     pool = concat_batches(raws)
+                    if not pool_checked:  # once per run, one device fetch
+                        check_pool_valid(pool)
+                        pool_checked = True
                     w_il = jax.device_put(self.weight[idx], batch_sh)
                     # device-side gather (a host np.asarray here would force
                     # a per-iteration device sync)

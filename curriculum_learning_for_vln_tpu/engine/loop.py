@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Callable, Optional
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -251,6 +251,23 @@ def concat_batches(batches):
     return jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, axis=0), *batches)
 
 
+def check_pool_valid(pool) -> None:
+    """One-time host assert that every packed-pool episode is valid.
+
+    packed_rollout_scan refills ended slots assuming every pool entry is a
+    real episode — a padding entry would be refilled born-ended, silently
+    wasting a slot-step and inflating episodes_started.  R2RBatchEnv
+    training batches always wrap to full-valid; this fails loudly if a
+    future env emits padded tail batches.  Costs one device fetch — call
+    once at setup, never per iteration (per-iteration syncs serialize the
+    loop through the relay)."""
+    import numpy as np
+    if not bool(np.asarray(jax.device_get(pool.valid)).all()):
+        raise ValueError(
+            "packed RL pool contains invalid (padding) episodes; "
+            "TPU.PACKED_RL requires a full-valid wraparound train iterator")
+
+
 def build_packed_train_step(
     agent,
     optimizer: optax.GradientTransformation,
@@ -383,7 +400,7 @@ def parallel_warmup(thunks, logger=None) -> float:
 def warmup_variants(cfg, agent, train_step, eval_rollout, il_bucket, env,
                     tables, params, opt_state, model_state, rng,
                     scan_step=None, scan_iters: int = 1, weighted: bool = False,
-                    logger=None) -> float:
+                    logger=None) -> Tuple[float, list]:
     """Build-and-fire the warmup thunk set a production run will need:
     the eval rollout, the train step at every reachable IL bucket (plus
     unbucketed), and the fused-K scan step.  Each train-step thunk gets
@@ -394,17 +411,23 @@ def warmup_variants(cfg, agent, train_step, eval_rollout, il_bucket, env,
     snapshot-restored so epoch 1 replays the exact same batch sequence
     with or without warmup.  Gated to TPU backends (CPU/GPU compile
     client-side where the persistent cache already works);
-    VLN_WARMUP_FORCE=1 overrides the gate for tests."""
+    VLN_WARMUP_FORCE=1 overrides the gate for tests.  Returns
+    ``(wall_seconds, errors)`` like ``parallel_warmup``."""
     if not (getattr(cfg.TPU, "PARALLEL_WARMUP", True) if hasattr(cfg, "TPU") else False):
         return 0.0, []
     if jax.default_backend() != "tpu" and \
             os.environ.get("VLN_WARMUP_FORCE") != "1":
         return 0.0, []
     K = max(scan_iters, 1)
-    snap = (env.ix, env._order.copy(), env._cur_indices, env._cur_valid)
+    # snapshot the full iteration state INCLUDING the RNG: if the K draws
+    # wrap the dataset, _next_indices reshuffles and advances env._rng, so
+    # without restoring it epoch 1 would not replay the same batch sequence
+    snap = (env.ix, env._order.copy(), env._cur_indices, env._cur_valid,
+            env._rng.bit_generator.state)
     batches = [env.next_batch() for _ in range(K)]
     il0 = il_bucket(env) if il_bucket is not None else None  # needs a current batch
-    env.ix, env._order, env._cur_indices, env._cur_valid = snap
+    (env.ix, env._order, env._cur_indices, env._cur_valid,
+     env._rng.bit_generator.state) = snap
     ep = batches[0]
     # reachable IL lengths: non-bucketing agents always see None; bucketing
     # agents can hit every bucket plus the unbucketed fallback

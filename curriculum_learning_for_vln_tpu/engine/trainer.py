@@ -26,9 +26,9 @@ from ..utils.logging_utils import ScalarWriter, clean_dir, prettyprint
 from .checkpoint import load_checkpoint, save_checkpoint, wait_for_checkpoints
 from .evaluator import Evaluation
 from .loop import (build_eval_rollout, build_packed_train_step,
-                   build_scanned_train_step, build_train_step, concat_batches,
-                   configure_tpu_runtime, make_optimizer, run_eval, stack_batches,
-                   warmup_variants)
+                   build_scanned_train_step, build_train_step, check_pool_valid,
+                   concat_batches, configure_tpu_runtime, make_optimizer,
+                   run_eval, stack_batches, warmup_variants)
 
 logger = logging.getLogger("main.train")
 
@@ -256,6 +256,7 @@ class ClassicTrainer:
         start_time = last_time = time.time()
         iters = max_iters_override or train_cfg.ITER_PER_EPOCH
         profile_dir = getattr(cfg.TPU, "PROFILE_DIR", "") if hasattr(cfg, "TPU") else ""
+        pool_checked = False  # packed-pool contract checked once per run
 
         for ep in range(start_epoch, train_cfg.MAX_EPOCH + 1):
             if profile_dir and ep == start_epoch + 1 and is_main:
@@ -285,6 +286,9 @@ class ClassicTrainer:
                         for _ in range(packed - 1):
                             raws.append(env_i.next_batch())
                         pool = concat_batches(raws)
+                        if not pool_checked:  # once per run, one device fetch
+                            check_pool_valid(pool)
+                            pool_checked = True
                         rng, rng_it = jax.random.split(rng)
                         params, opt_state, model_state, logs = packed_step(
                             tables, params, opt_state, model_state, raws[0],

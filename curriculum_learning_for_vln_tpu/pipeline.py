@@ -75,8 +75,14 @@ def build_synthetic_universe(cfg, seed: int = 0):
 
     n_train = getattr(cfg.TPU, "SYNTHETIC_TRAIN_PATHS", 240)
     n_val = getattr(cfg.TPU, "SYNTHETIC_VAL_PATHS", 40)
+    # instruction-quality heterogeneity on the TRAIN split only (val stays
+    # fully specified so arms compare on a clean metric) — gives the CLR2R
+    # scorer a real difficulty signal to recover (world/synthetic.py
+    # grounded_instruction; scripts/clr2r_e2e.py)
+    het = float(getattr(cfg.TPU, "SYNTHETIC_HETEROGENEITY", 0.0)) if grounded else 0.0
+    mk_train = (lambda **kw: make(heterogeneity=het, **kw)) if het > 0 else make
     splits = {
-        "train": make(num_paths=n_train, seed=seed + 1, path_id_base=0, scans=train_scans),
+        "train": mk_train(num_paths=n_train, seed=seed + 1, path_id_base=0, scans=train_scans),
         "val_seen": make(num_paths=n_val, seed=seed + 2, path_id_base=10_000, scans=train_scans),
         "val_unseen": make(num_paths=n_val, seed=seed + 3, path_id_base=20_000, scans=unseen_scans),
     }

@@ -272,6 +272,9 @@ _C.TPU.SYNTHETIC_NODES = 64
 _C.TPU.SYNTHETIC_GROUNDED = True           # learnable grounded task (room-type features)
 _C.TPU.SYNTHETIC_TRAIN_PATHS = 240         # synthetic split sizes
 _C.TPU.SYNTHETIC_VAL_PATHS = 40
+_C.TPU.SYNTHETIC_HETEROGENEITY = 0.0       # train-instruction quality spread
+                                           # (0 = uniform; >0 enables latent
+                                           # per-path difficulty, synthetic.py)
 _C.TPU.MAX_CANDIDATES = 16                 # static candidate-slot count (R2R max ~14)
 _C.TPU.SCAN_ITERS = 1                      # training iterations fused per dispatch (1 = off)
 _C.TPU.SCAN_UNROLL = 1                     # rollout-scan unroll factor (op-count lever;

@@ -220,18 +220,51 @@ def attach_grounded_features(world, rooms: np.ndarray, feature_dim: int = 2048,
     world.features = feats
 
 
-def grounded_instruction(room_seq: List[int], rng) -> str:
+_VAGUE = ["room", "area"]  # generic stand-ins for an under-specified clause
+
+
+def grounded_instruction(room_seq: List[int], rng, corrupt: float = 0.0) -> str:
     """Instruction text for a path whose nodes (after the start) have the
-    given room types, e.g. 'walk to the kitchen then go to the hallway .'"""
-    parts = []
+    given room types, e.g. 'walk to the kitchen then go to the hallway .'
+
+    ``corrupt`` in [0, 1] injects the degradations real low-quality R2R
+    instructions exhibit (the difficulty signal the CLR2R scorer is built
+    to detect, ref: tasks/R2R-judy/src/agent/vln_bert.py:24-75 over real
+    annotator variance):
+
+    * landmark sparsity — intermediate clauses dropped with p=0.7*corrupt
+      (the final clause always survives, so the item stays solvable);
+    * ambiguity — a clause's room type replaced by a generic word
+      ("room"/"area") with p=0.5*corrupt;
+    * distractors — a clause naming a room type that is NOT the next stop
+      inserted with p=0.5*corrupt.
+
+    At corrupt=0 this reproduces the original fully-specified generator
+    (template-uniform, zero difficulty variance — the round-3 e2e study's
+    honest-negative harness limitation)."""
+    names = []
     for i, r in enumerate(room_seq):
+        last = i == len(room_seq) - 1
+        if not last and corrupt > 0 and rng.random() < 0.7 * corrupt:
+            continue  # landmark sparsity: this waypoint goes unmentioned
+        name = ROOM_TYPES[r]
+        if corrupt > 0 and rng.random() < 0.5 * corrupt:
+            name = _VAGUE[int(rng.integers(len(_VAGUE)))]  # ambiguity
+        if not last and corrupt > 0 and rng.random() < 0.5 * corrupt:
+            # distractor: an off-path room type, inserted as a real clause
+            # (never after the stop clause — the goal stays unambiguous)
+            names.append((ROOM_TYPES[int(rng.integers(len(ROOM_TYPES)))], False))
+        names.append((name, last))
+    parts = []
+    for i, (name, last) in enumerate(names):
         starter = _STARTERS[int(rng.integers(len(_STARTERS)))]
-        if i == 0:
-            parts.append(f"{starter} {ROOM_TYPES[r]}")
-        elif i == len(room_seq) - 1:
-            parts.append(f"{_JOINERS[int(rng.integers(len(_JOINERS)))]} stop at the {ROOM_TYPES[r]}")
+        if last:
+            joiner = f"{_JOINERS[int(rng.integers(len(_JOINERS)))]} " if i else ""
+            parts.append(f"{joiner}stop at the {name}")
+        elif i == 0:
+            parts.append(f"{starter} {name}")
         else:
-            parts.append(f"{_JOINERS[int(rng.integers(len(_JOINERS)))]} {starter} {ROOM_TYPES[r]}")
+            parts.append(f"{_JOINERS[int(rng.integers(len(_JOINERS)))]} {starter} {name}")
     return " ".join(parts) + " ."
 
 
@@ -246,9 +279,16 @@ def make_grounded_dataset(
     instructions_per_path: int = 3,
     path_id_base: int = 0,
     scans: Optional[Sequence[str]] = None,
+    heterogeneity: float = 0.0,
 ) -> List[dict]:
     """R2R-format items whose instructions describe the path's room-type
-    sequence (see attach_grounded_features)."""
+    sequence (see attach_grounded_features).
+
+    ``heterogeneity`` > 0 gives each path a latent difficulty d ~ U(0,1)
+    and corrupts its instructions at level d*heterogeneity (see
+    grounded_instruction) — the ground truth is recorded as
+    ``item["difficulty"]`` so curriculum-construction studies can check
+    scorer-recovered difficulty against it (scripts/clr2r_e2e.py)."""
     rng = np.random.default_rng(seed)
     scan_list = list(scans) if scans is not None else sorted(graphs)
     sp_cache: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
@@ -268,15 +308,18 @@ def make_grounded_dataset(
         else:
             continue
         room_seq = [int(rooms[world.global_id(scan, g.node_ids[i])]) for i in path[1:]]
-        instrs = [grounded_instruction(room_seq, rng) for _ in range(instructions_per_path)]
-        items.append(
-            {
-                "distance": float(round(dist[start, goal], 2)),
-                "scan": scan,
-                "path_id": path_id_base + p,
-                "path": [g.node_ids[i] for i in path],
-                "heading": float(rng.uniform(0, 2 * np.pi)),
-                "instructions": instrs,
-            }
-        )
+        d = float(rng.uniform(0.0, 1.0)) if heterogeneity > 0 else 0.0
+        instrs = [grounded_instruction(room_seq, rng, corrupt=d * heterogeneity)
+                  for _ in range(instructions_per_path)]
+        item = {
+            "distance": float(round(dist[start, goal], 2)),
+            "scan": scan,
+            "path_id": path_id_base + p,
+            "path": [g.node_ids[i] for i in path],
+            "heading": float(rng.uniform(0, 2 * np.pi)),
+            "instructions": instrs,
+        }
+        if heterogeneity > 0:
+            item["difficulty"] = d  # latent ground truth, diagnostics only
+        items.append(item)
     return items

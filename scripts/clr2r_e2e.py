@@ -89,7 +89,19 @@ def build_rounds(cfg, seed: int, pretrain_steps: int, tok, world, splits,
     for it, s in zip(data, scores):
         by_path.setdefault(it["path_id"], []).append(float(s))
     path_scores = np.array([np.mean(by_path[it["path_id"]]) for it in items])
-    return make_clr2r_rounds(items, path_scores, n_rounds=5)
+
+    # diagnostics: is there a difficulty signal, and did the scorer find
+    # it?  (items carry latent ground truth when the world was generated
+    # with heterogeneity > 0 — scorer compat is HIGH for EASY, so the
+    # target correlation is negative)
+    diag = {"score_std": float(np.std(path_scores))}
+    if items and "difficulty" in items[0]:
+        truth = np.array([it["difficulty"] for it in items])
+        diag["pearson_vs_truth"] = float(np.corrcoef(path_scores, truth)[0, 1])
+        r1 = np.argsort(np.argsort(path_scores)).astype(np.float64)
+        r2 = np.argsort(np.argsort(truth)).astype(np.float64)
+        diag["spearman_vs_truth"] = float(np.corrcoef(r1, r2)[0, 1])
+    return make_clr2r_rounds(items, path_scores, n_rounds=5), diag
 
 
 def random_rounds(items, seed: int):
@@ -143,6 +155,10 @@ def main():
     ap.add_argument("--model", default="ENVDROP")
     ap.add_argument("--scans", type=int, default=6)
     ap.add_argument("--nodes", type=int, default=48)
+    ap.add_argument("--heterogeneity", type=float, default=1.0,
+                    help="train-instruction quality spread (>0 gives paths a "
+                         "latent difficulty for the scorer to recover; 0 "
+                         "reproduces the round-3 template-uniform negative)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -162,7 +178,8 @@ def main():
         with open(args.out) as f:
             for line in f:
                 r = json.loads(line)
-                done[(r["arm"], r["seed"])] = r["sr"]
+                if r.get("arm") != "diag":
+                    done[(r["arm"], r["seed"])] = r["sr"]
 
     results = {}
     with tempfile.TemporaryDirectory() as tmp:
@@ -170,6 +187,7 @@ def main():
             cfg = make_cfg(args.model, "SELF-PACE", 1000 + seed, args.epochs, tmp)
             cfg.TPU.SYNTHETIC_SCANS = args.scans
             cfg.TPU.SYNTHETIC_NODES = args.nodes
+            cfg.TPU.SYNTHETIC_HETEROGENEITY = args.heterogeneity
             world, splits, _, feat_dim = pipeline.build_synthetic_universe(cfg, seed=7)
             rooms = synthetic.assign_rooms(world, seed=7)
             vocab_items = (splits["train"] + splits["val_seen"]
@@ -177,13 +195,34 @@ def main():
             tok = Tokenizer(build_vocab(vocab_items, min_count=1),
                             encoding_length=cfg.DATA.MAX_ENC_LEN)
 
+            arm_names = ["scorer", "oracle", "random"] \
+                if args.heterogeneity > 0 else ["scorer", "random"]
             arms = {}
-            if ("scorer", seed) not in done or ("random", seed) not in done:
-                arms["scorer"] = build_rounds(cfg, 1000 + seed,
-                                              args.pretrain_steps, tok, world,
-                                              splits, rooms, feat_dim)
+            if any((a, seed) not in done for a in arm_names):
+                arms["scorer"], diag = build_rounds(cfg, 1000 + seed,
+                                                    args.pretrain_steps, tok, world,
+                                                    splits, rooms, feat_dim)
+                print(f"# scorer diagnostics seed{seed}: {diag}",
+                      file=sys.stderr, flush=True)
+                if args.out:
+                    with open(args.out, "a") as f:
+                        f.write(json.dumps({"arm": "diag", "seed": seed,
+                                            **diag}) + "\n")
                 arms["random"] = random_rounds(splits["train"], 1000 + seed)
-            for arm in ("scorer", "random"):
+                if args.heterogeneity > 0:
+                    # oracle: rounds from the latent ground-truth difficulty
+                    # (the curriculum-benefit ceiling; if oracle does not
+                    # beat random, the world carries no curriculum signal
+                    # and the scorer cannot be blamed)
+                    import numpy as _np
+
+                    from curriculum_learning_for_vln_tpu.engine.pretrain import \
+                        make_clr2r_rounds
+                    truth = _np.array([it["difficulty"]
+                                       for it in splits["train"]])
+                    arms["oracle"] = make_clr2r_rounds(
+                        splits["train"], -truth, n_rounds=5)
+            for arm in arm_names:
                 key = (arm, seed)
                 if key in done:
                     sr = done[key]

@@ -97,3 +97,37 @@ def test_feature_tsv_roundtrip(tmp_path):
     loaded = FT.read_feature_tsv(path)
     assert np.allclose(loaded["scanA_vp1"], feats["scanA_vp1"])
     assert FT.featurized_scans(loaded) == {"scanA"}
+
+
+def test_heterogeneous_difficulty_generation():
+    """TPU.SYNTHETIC_HETEROGENEITY gives paths a latent difficulty with a
+    real spread in instruction specification (VERDICT r3 item 4: the
+    CLR2R scorer needs a world where difficulty exists)."""
+    from curriculum_learning_for_vln_tpu.world import compiler as WC
+
+    graphs = synthetic.make_world_graphs(2, 24, seed=3)
+    world = WC.compile_world(graphs, max_candidates=12)
+    rooms = synthetic.assign_rooms(world, seed=3)
+    items = synthetic.make_grounded_dataset(
+        graphs, world, rooms, num_paths=40, seed=5, heterogeneity=1.0)
+    diffs = np.array([it["difficulty"] for it in items])
+    assert 0.1 < float(np.std(diffs)) < 0.5  # non-degenerate U(0,1) spread
+    # corruption tracks difficulty: easy items spell out more waypoints
+    lens = np.array([len(it["instructions"][0].split()) for it in items])
+    assert np.corrcoef(lens, diffs)[0, 1] < -0.3
+    # heterogeneity off reproduces the uniform generator (no difficulty key)
+    base = synthetic.make_grounded_dataset(
+        graphs, world, rooms, num_paths=40, seed=5)
+    assert "difficulty" not in base[0]
+
+    # pipeline knob: train split only — val stays fully specified
+    cfg = get_cfg_defaults()
+    cfg.TPU.SYNTHETIC_WORLD = True
+    cfg.TPU.SYNTHETIC_SCANS = 2
+    cfg.TPU.SYNTHETIC_NODES = 24
+    cfg.TPU.SYNTHETIC_TRAIN_PATHS = 30
+    cfg.TPU.SYNTHETIC_VAL_PATHS = 8
+    cfg.TPU.SYNTHETIC_HETEROGENEITY = 1.0
+    _, splits, _, _ = pipeline.build_synthetic_universe(cfg, seed=7)
+    assert all("difficulty" in it for it in splits["train"])
+    assert all("difficulty" not in it for it in splits["val_unseen"])

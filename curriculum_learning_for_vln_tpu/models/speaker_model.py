@@ -20,13 +20,25 @@ import jax
 import jax.numpy as jnp
 
 from .attention import soft_dot, soft_dot_init
-from .core import dense, dense_init, dropout, embedding, embedding_init, lstm_cell, lstm_cell_init
+from .core import (dense, dense_init, dropout, embedding, embedding_init,
+                   lstm_cell, lstm_cell_init, masked_lstm)
 
 
 def _unmasked_lstm(p: dict, xs: jnp.ndarray, h0=None, c0=None):
     """Full-length LSTM over [B, T, D] (no length masking — parity with the
-    reference speaker's un-packed LSTM)."""
+    reference speaker's un-packed LSTM).
+
+    With a zero initial state this routes through ``models.core.masked_lstm``
+    with full lengths, i.e. the ops.rnn backend — under the "pallas" backend
+    the fused VMEM-resident-weights scan kernel takes over (ops/rnn.py
+    falls back to XLA when the weights exceed the VMEM tile budget, which
+    covers the encoder's first layer at production feature dims).  A
+    caller-supplied (h0, c0) — the speaker decoder resuming from the
+    encoder state — keeps the plain XLA scan: the fused kernel's carries
+    start at zero (ref: units.py:311-341, 364-390)."""
     B, T, Dm = xs.shape
+    if h0 is None and c0 is None:
+        return masked_lstm(p, xs, jnp.full((B,), T, jnp.int32))
     H = p["w_hh"].shape[0]
     h = jnp.zeros((B, H), xs.dtype) if h0 is None else h0
     c = jnp.zeros((B, H), xs.dtype) if c0 is None else c0
@@ -44,8 +56,11 @@ def _bidir_unmasked_lstm(p_fwd: dict, p_bwd: Optional[dict], xs: jnp.ndarray):
     out_f, _ = _unmasked_lstm(p_fwd, xs)
     if p_bwd is None:
         return out_f
-    out_b, _ = _unmasked_lstm(p_bwd, xs[:, ::-1])
-    return jnp.concatenate([out_f, out_b[:, ::-1]], axis=-1)
+    B, T, _ = xs.shape
+    # reverse direction via masked_lstm(reverse=True) with full lengths —
+    # identical to scanning the flipped sequence, but backend-routable
+    out_b, _ = masked_lstm(p_bwd, xs, jnp.full((B,), T, jnp.int32), reverse=True)
+    return jnp.concatenate([out_f, out_b], axis=-1)
 
 
 # ---------------------------------------------------------------------------

@@ -136,7 +136,22 @@ def _fused_bwd(reverse, res, cotangents):
 _masked_lstm_fused.defvjp(_fused_fwd, _fused_bwd)
 
 
+# VMEM budget for the fused kernel's resident weight blocks.  Mosaic
+# double-buffers input blocks, so usable VMEM is ~5.5 MB of the 16 MB
+# (CLAUDE.md; ops/pallas/lstm.py) — beyond this the fused kernel fails to
+# place, so oversized layers (e.g. the speaker encoder's first layer at
+# D=feat+angle=2176: w_ih alone is 8.9 MB f32) fall back to the XLA scan,
+# where loop-invariant weights are VMEM-cached by XLA anyway.
+_FUSED_WEIGHT_BYTES_MAX = 4 * 1024 * 1024
+
+
+def _fused_fits(xs, w_ih, w_hh) -> bool:
+    wbytes = (w_ih.size * w_ih.dtype.itemsize
+              + w_hh.size * w_hh.dtype.itemsize)
+    return wbytes <= _FUSED_WEIGHT_BYTES_MAX
+
+
 def masked_lstm(xs, lengths, w_ih, w_hh, b, reverse: bool = False):
-    if _BACKEND == "pallas":
+    if _BACKEND == "pallas" and _fused_fits(xs, w_ih, w_hh):
         return _masked_lstm_fused(reverse, xs, lengths, w_ih, w_hh, b)
     return masked_lstm_xla(xs, lengths, w_ih, w_hh, b, reverse=reverse)

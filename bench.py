@@ -161,12 +161,13 @@ def bench_device(world, henv, tok):
     import jax.numpy as jnp
     import optax
 
-    try:  # persistent compile cache (harmless if the backend ignores it)
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    # NO persistent compile cache here: through the axon relay the real
+    # Mosaic compile happens SERVER-side at first execution (CLAUDE.md
+    # "Relay compile"), so a client cache cannot shorten cold starts — and
+    # the round-3 judged segfault was in the client cache READ path against
+    # the shared multi-GB .jax_cache dir (tests/conftest.py).  Overlapped
+    # first-execution dispatch (parallel_warmup below) is the cold-start
+    # mitigation instead.
 
     from curriculum_learning_for_vln_tpu.agents import EnvDropAgent
     from curriculum_learning_for_vln_tpu.agents.common import (FEEDBACK_ARGMAX,
@@ -355,8 +356,7 @@ def bench_device(world, henv, tok):
     rollout_sps = BATCH * EPISODE_LEN / per_rollout
     log(f"device rollout: {per_rollout*1000:.2f} ms / {BATCH}x{EPISODE_LEN} rollout "
         f"-> {rollout_sps:,.0f} steps/s  (overlapped setup+compile "
-        f"{rollout_compile_s:.1f}s; persistent cache under .jax_cache makes "
-        f"warm starts ~free)")
+        f"{rollout_compile_s:.1f}s)")
     # MFU/roofline vs v5e peaks from the analytic cost model (VERDICT r2
     # item 7; XLA's cost_analysis counts scan bodies once, so it cannot
     # price these programs — utils/roofline.py docstring)

@@ -276,16 +276,29 @@ _C.TPU.SYNTHETIC_HETEROGENEITY = 0.0       # train-instruction quality spread
                                            # (0 = uniform; >0 enables latent
                                            # per-path difficulty, synthetic.py)
 _C.TPU.MAX_CANDIDATES = 16                 # static candidate-slot count (R2R max ~14)
-_C.TPU.SCAN_ITERS = 1                      # training iterations fused per dispatch (1 = off)
+_C.TPU.SCAN_ITERS = 1                      # training iterations fused per dispatch.
+#                                            Default 1 by measurement (BASELINE.md r4):
+#                                            K=8 buys ~1% on v5e — the pipelined
+#                                            dispatch loop already hides launch cost
 _C.TPU.SCAN_UNROLL = 1                     # rollout-scan unroll factor (op-count lever;
 #                                            measured numbers in BASELINE.md round 3)
 _C.TPU.SCAN_EARLY_EXIT = False             # skip all-ended rollout steps via lax.cond
 #                                            (reference breaks its loop there,
-#                                            follower.py:168; parity: tests/test_knobs.py)
+#                                            follower.py:168; parity: tests/test_knobs.py).
+#                                            Default OFF by measurement (BASELINE.md r4):
+#                                            the per-step cond costs 8.4x the whole
+#                                            iteration under grad on v5e — use
+#                                            PACKED_RL for dead-slot recovery instead
 _C.TPU.PACKED_RL = 0                       # packed-RL pool factor (0/1 = off): refill
 #                                            ended slots from a factor*B episode pool
 #                                            inside the rollout scan (agents/packed.py;
-#                                            ENVDROP + sample feedback, classic/naive)
+#                                            ENVDROP + sample feedback, classic/naive).
+#                                            Schema default 0 = reference objective
+#                                            semantics (what the parity matrices and
+#                                            statistical tests assert against); the
+#                                            production envdrop configs set 3 —
+#                                            measured +31% episodes/s on v5e and
+#                                            +0.033 mean SR over 3 seeds (BASELINE.md)
 _C.TPU.COMPILATION_CACHE = ".jax_cache"    # persistent XLA compile cache dir ("" = off)
 _C.TPU.PARALLEL_WARMUP = True              # overlap server-side first-execution compiles
 #                                            of all program variants at trainer startup

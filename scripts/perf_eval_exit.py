@@ -43,12 +43,27 @@ def main():
         @jax.jit
         def many(p, rng):
             def one(carry, r):
-                # data-chain successive rollouts so the relay cannot
-                # overlap them (the differencing needs serial execution)
-                rr = jax.random.fold_in(r, jnp.int32(carry) & 0x7FFF)
-                _, res, _ = agent.rollout(p, {}, tables, ep, rr,
+                # data-chain successive rollouts THROUGH THE PARAMS: a
+                # no-grad argmax/teacher rollout consumes neither the rng
+                # nor the carry, so chaining via fold_in(r, carry) leaves
+                # the rollout loop-invariant and XLA hoists it clean out
+                # of the measuring scan (the first version of this script
+                # measured 0.00 ms).  Adding carry*1e-30 to every float
+                # leaf is numerically invisible but forces each
+                # iteration to wait for the previous one's result.
+                eps = carry * jnp.float32(1e-30)
+                p2 = jax.tree_util.tree_map(
+                    lambda w: w + eps.astype(w.dtype)
+                    if jnp.issubdtype(w.dtype, jnp.floating) else w, p)
+                _, res, _ = agent.rollout(p2, {}, tables, ep, r,
                                           feedback=fb, train=False)
-                return carry + jnp.sum(res.steps.reward).astype(jnp.float32), None
+                # sum log_prob as well as reward: under TEACHER feedback
+                # the actions (and hence rewards) never read the model's
+                # logits, so a reward-only output lets XLA dead-code the
+                # entire encoder/decoder (measured 0.08 ms, 20x too fast)
+                out = jnp.sum(res.steps.reward) + jnp.sum(
+                    res.steps.log_prob.astype(jnp.float32))
+                return carry + out.astype(jnp.float32), None
 
             out, _ = jax.lax.scan(one, jnp.float32(0.0),
                                   jax.random.split(rng, n))

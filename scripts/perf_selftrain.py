@@ -83,8 +83,15 @@ def main():
         @jax.jit
         def many(p, rng, mask):
             def one(carry, r):
+                # sampling=True (the reference's back-translation decode
+                # mode) + carry folded into the key: each iteration's
+                # decode depends on the previous one, so XLA can neither
+                # hoist the loop-invariant argmax decode out of the scan
+                # (the bug in the first version of this arm, which
+                # measured 0.0 ms) nor overlap iterations.
+                rr = jax.random.fold_in(r, jnp.int32(carry) & 0x7FFF)
                 feats = collect_shortest_path_features(tables, ep, spk.episode_len)
-                words, _ = spk.infer(p, feats, r, sampling=False, feat_mask=mask)
+                words, _ = spk.infer(p, feats, rr, sampling=True, feat_mask=mask)
                 return carry + jnp.sum(words).astype(jnp.float32), None
 
             out, _ = jax.lax.scan(one, jnp.float32(0.0), jax.random.split(rng, n))

@@ -74,7 +74,7 @@ def build_pretrain_loss(cfg: VilBertConfig, mask_idx: int,
                                                   mask_idx, mask_p)
         masked_feats, region_sel = mask_regions(r_rg, feats, region_mask, region_p)
 
-        _, vision_pred, linguistic_pred, seq_rel = vlnbert_apply(
+        vil_logit, vision_pred, linguistic_pred, seq_rel = vlnbert_apply(
             params, cfg, masked_tokens, masked_feats, locs,
             attention_mask=(tokens != PAD_IDX).astype(jnp.float32),
             image_attention_mask=region_mask.astype(jnp.float32),
@@ -99,9 +99,19 @@ def build_pretrain_loss(cfg: VilBertConfig, mask_idx: int,
         align_loss = -jnp.mean(
             jnp.take_along_axis(alogp, align_labels[:, None].astype(jnp.int32), axis=-1))
 
-        total = lm_loss + region_loss + align_loss
+        # vil_logit alignment BCE.  score_difficulty ranks paths by the
+        # scalar vil_logit head (ref vln_bert.py:24-75 scores with the
+        # released checkpoint's *trained* vil_logit); without this term
+        # that head never appears in any loss and CLR2R difficulty
+        # scores are a random projection of the pooled embedding.
+        vil = vil_logit[:, 0]
+        lab = align_labels.astype(jnp.float32)
+        vil_loss = jnp.mean(jnp.maximum(vil, 0.0) - vil * lab
+                            + jnp.log1p(jnp.exp(-jnp.abs(vil))))
+
+        total = lm_loss + region_loss + align_loss + vil_loss
         logs = {"loss": total, "lm_loss": lm_loss, "region_loss": region_loss,
-                "align_loss": align_loss}
+                "align_loss": align_loss, "vil_loss": vil_loss}
         return total, logs
 
     return loss_fn

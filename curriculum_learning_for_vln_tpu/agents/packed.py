@@ -28,8 +28,10 @@ Everything is static-shape and TPU-friendly:
 
 This is a deliberate *capability deviation* from the reference (batch
 composition changes: one update sees ~factor x more episodes for the RL
-term at ~1x rollout cost); it is off by default (TPU.PACKED_RL = 0) and
-never changes the reference-parity path.
+term at ~1x rollout cost).  The SCHEMA default is off (TPU.PACKED_RL =
+0 — reference semantics, the parity path); the shipped production
+envdrop configs set PACKED_RL: 3 (measured +31% episodes/s on chip and
++0.033 final SR over 3 seeds, BASELINE.md packed study).
 """
 from __future__ import annotations
 

@@ -37,18 +37,25 @@ class VLNBertScorer:
         return vlnbert_init(key, self.cfg), {}
 
     def apply(self, params, instr_tokens, image_features, image_locations,
-              attention_mask=None, image_attention_mask=None, rng=None, train=False):
+              attention_mask=None, image_attention_mask=None, rng=None, train=False,
+              compute_heads=True):
         return vlnbert_apply(
             params, self.cfg, instr_tokens, image_features, image_locations,
             attention_mask=attention_mask, image_attention_mask=image_attention_mask,
             rng=rng, train=train, dropout_prob=self.dropout_prob,
+            compute_heads=compute_heads,
         )
 
     def score_paths(self, params, instr_tokens, image_features, image_locations,
                     attention_mask=None, image_attention_mask=None):
-        """vil_logit for a batch of (path, instruction) pairs."""
+        """vil_logit for a batch of (path, instruction) pairs.
+
+        Skips the LM/region prediction heads (compute_heads=False): the
+        difficulty score reads only vil_logit, and the dead tied-decoder
+        matmul is ~25% of the reference-scale forward."""
         logit, _, _, _ = self.apply(params, instr_tokens, image_features, image_locations,
-                                    attention_mask, image_attention_mask, train=False)
+                                    attention_mask, image_attention_mask, train=False,
+                                    compute_heads=False)
         return logit[:, 0]
 
 

@@ -127,9 +127,14 @@ def _ln_init(dim):
 
 
 def layer_norm(p, x, eps: float = 1e-12):
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    # stats in f32 even under bf16 compute params (mean/var of ~768-wide
+    # rows lose real precision in bf16); output returns to x.dtype so a
+    # bf16-cast parameter tree keeps every matmul on the MXU in bf16
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps) * p["scale"].astype(jnp.float32)
+    return (y + p["bias"].astype(jnp.float32)).astype(x.dtype)
 
 
 def _attention_init(key, q_dim, kv_dim, heads, std):
@@ -157,8 +162,11 @@ def _mha(q_p, q_x, kv_x, heads: int, mask, rng, train: bool, drop: float):
     q, k, v = split(q, Lq), split(k, Lk), split(v, Lk)
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(hd)
     if mask is not None:
-        scores = scores + mask  # [B, 1, 1, Lk] additive
-    probs = jax.nn.softmax(scores, axis=-1)
+        scores = scores + mask  # [B, 1, 1, Lk] additive (f32 -> promotes)
+    # softmax in f32, probs back to the activation dtype: under bf16
+    # compute the f32 -10000 mask must not promote the ctx matmul off
+    # the bf16 MXU path
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
     probs = dropout(rng, probs, drop, deterministic=not train)
     ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
     return ctx.transpose(0, 2, 1, 3).reshape(B, Lq, heads * hd), probs
@@ -230,15 +238,15 @@ def _connection_layer(p, cfg: VilBertConfig, v_x, v_mask, t_x, t_mask, co_mask, 
     s1 = jnp.einsum("bhqd,bhkd->bhqk", q2, k1) / math.sqrt(hd) + v_mask
     if co_mask is not None:
         s1 = s1 + jnp.swapaxes(co_mask, -1, -2)
-    p1 = dropout(r[0], jax.nn.softmax(s1, -1), cfg.v_attention_probs_dropout_prob,
-                 deterministic=not train)
+    p1 = dropout(r[0], jax.nn.softmax(s1.astype(jnp.float32), -1).astype(v1.dtype),
+                 cfg.v_attention_probs_dropout_prob, deterministic=not train)
     ctx1 = jnp.einsum("bhqk,bhkd->bhqd", p1, v1).transpose(0, 2, 1, 3).reshape(B, Lt, -1)
 
     s2 = jnp.einsum("bhqd,bhkd->bhqk", q1, k2) / math.sqrt(hd) + t_mask
     if co_mask is not None:
         s2 = s2 + co_mask
-    p2 = dropout(r[1], jax.nn.softmax(s2, -1), cfg.attention_probs_dropout_prob,
-                 deterministic=not train)
+    p2 = dropout(r[1], jax.nn.softmax(s2.astype(jnp.float32), -1).astype(v2.dtype),
+                 cfg.attention_probs_dropout_prob, deterministic=not train)
     ctx2 = jnp.einsum("bhqk,bhkd->bhqd", p2, v2).transpose(0, 2, 1, 3).reshape(B, Lv, -1)
 
     # biOutput: ctx2 (text-informed) -> vision stream, ctx1 -> text stream
@@ -429,10 +437,19 @@ def vlnbert_apply(
     rng=None,
     train: bool = False,
     dropout_prob: float = 0.1,
+    compute_heads: bool = True,
 ):
     """Path-instruction compatibility scoring.
 
-    Returns (vil_logit [B, 1], vision_prediction, linguistic_prediction)."""
+    Returns (vil_logit [B, 1], vision_prediction, linguistic_prediction).
+
+    ``compute_heads=False`` skips the masked-LM / masked-region prediction
+    heads (vision_pred and linguistic_pred return None).  CLR2R difficulty
+    scoring only reads vil_logit, and at reference scale the tied LM
+    decoder alone ([B, Lt, 768] @ [768, 30522]) is ~25% of the whole
+    forward's FLOPs — the reference (vln_bert.py:60-69) pays it anyway
+    because torch builds the full graph; here the dead heads are simply
+    not traced."""
     if rng is None:
         rng = jax.random.PRNGKey(0)
     seq_t, seq_v, pooled_t, pooled_v = vilbert_apply(
@@ -441,14 +458,16 @@ def vlnbert_apply(
         rng=jax.random.fold_in(rng, 0), train=train,
     )
     cls = params["cls"]
-    # tied LM head
-    h = jax.nn.gelu(dense(cls["transform"], seq_t), approximate=False)
-    h = layer_norm(cls["transform_ln"], h)
-    linguistic_pred = h @ params["bert"]["embeddings"]["word"].T + cls["decoder_bias"]
-    # image head
-    hv = jax.nn.gelu(dense(cls["v_transform"], seq_v), approximate=False)
-    hv = layer_norm(cls["v_transform_ln"], hv)
-    vision_pred = dense(cls["v_decoder"], hv)
+    linguistic_pred = vision_pred = None
+    if compute_heads:
+        # tied LM head
+        h = jax.nn.gelu(dense(cls["transform"], seq_t), approximate=False)
+        h = layer_norm(cls["transform_ln"], h)
+        linguistic_pred = h @ params["bert"]["embeddings"]["word"].T + cls["decoder_bias"]
+        # image head
+        hv = jax.nn.gelu(dense(cls["v_transform"], seq_v), approximate=False)
+        hv = layer_norm(cls["v_transform_ln"], hv)
+        vision_pred = dense(cls["v_decoder"], hv)
     # fusion + path logit (vln_bert.py:60-69)
     if cfg.fusion_method == "sum":
         pooled = pooled_t + pooled_v

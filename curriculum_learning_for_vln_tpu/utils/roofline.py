@@ -151,6 +151,72 @@ def train_iter_cost(s: EnvDropShapes, il_T: int = 8) -> Dict[str, float]:
             "fwd_flops": fwd.flops, "fwd_bytes": fwd.bytes}
 
 
+# ---------------------------------------------------------------------------
+# ViLBERT scorer (reference scale: vilbert.py:129-272 defaults)
+# ---------------------------------------------------------------------------
+
+def _transformer_layer_cost(B: int, L: int, H: int, inter: int, wb: int) -> Cost:
+    """One post-LN BERT layer: qkv + attn-out + FFN matmuls, plus the
+    quadratic attention einsums.  ViLBERT has NO scan — every weight is
+    read from HBM exactly once per forward, so weight bytes are counted
+    here (unlike the EnvDrop decoder's VMEM-resident scan weights)."""
+    c = matmul(B * L, H, H, wb) * 4                    # q, k, v, attn_out
+    c += Cost(2.0 * 2 * B * L * L * H, 0.0)            # scores + ctx einsums
+    c += matmul(B * L, H, inter, wb) + matmul(B * L, inter, H, wb)
+    return c
+
+
+def _connection_layer_cost(B: int, Lt: int, Lv: int, Ht: int, Hv: int,
+                           bi: int, it: int, iv: int, wb: int) -> Cost:
+    c = matmul(B * Lv, Hv, bi, wb) * 3 + matmul(B * Lt, Ht, bi, wb) * 3   # q/k/v both streams
+    c += Cost(2.0 * 2 * B * Lt * Lv * bi * 2, 0.0)     # two cross-attn score+ctx pairs
+    c += matmul(B * Lv, bi, Hv, wb) + matmul(B * Lt, bi, Ht, wb)          # biOutput
+    c += matmul(B * Lv, Hv, iv, wb) + matmul(B * Lv, iv, Hv, wb)          # v FFN
+    c += matmul(B * Lt, Ht, it, wb) + matmul(B * Lt, it, Ht, wb)          # t FFN
+    return c
+
+
+def vilbert_forward_cost(cfg, B: int, Lt: int, Lv: int, wb: int = 2,
+                         compute_heads: bool = True) -> Cost:
+    """Analytic FLOPs + minimum HBM bytes of one vlnbert_apply forward at
+    reference scale (models/vilbert.py; ref vilbert.py:129-272 defaults).
+    No scan anywhere, so ``compiled.cost_analysis()`` would also be honest
+    here — this stays analytic for relay portability (the axon client
+    stub compile carries no server cost tables)."""
+    c = Cost()
+    c += Cost(0.0, float(B * Lt * cfg.hidden_size * wb))           # word emb rows
+    c += matmul(B * Lv, cfg.v_feature_size, cfg.v_hidden_size, wb) # image emb
+    c += Cost(0.0, float(B * Lv * cfg.v_feature_size * wb))        # feature reads
+    for _ in range(cfg.num_hidden_layers):
+        c += _transformer_layer_cost(B, Lt, cfg.hidden_size, cfg.intermediate_size, wb)
+    for _ in range(cfg.v_num_hidden_layers):
+        c += _transformer_layer_cost(B, Lv, cfg.v_hidden_size, cfg.v_intermediate_size, wb)
+    for _ in range(len(cfg.v_biattention_id)):
+        c += _connection_layer_cost(B, Lt, Lv, cfg.hidden_size, cfg.v_hidden_size,
+                                    cfg.bi_hidden_size, cfg.intermediate_size,
+                                    cfg.v_intermediate_size, wb)
+    c += matmul(B, cfg.hidden_size, cfg.bi_hidden_size, wb)        # t pooler
+    c += matmul(B, cfg.v_hidden_size, cfg.bi_hidden_size, wb)      # v pooler
+    c += matmul(B, cfg.bi_hidden_size, 1, wb)                      # vil_logit
+    if compute_heads:
+        c += matmul(B * Lt, cfg.hidden_size, cfg.hidden_size, wb)  # LM transform
+        c += matmul(B * Lt, cfg.hidden_size, cfg.vocab_size, wb)   # tied decoder
+        c += matmul(B * Lv, cfg.v_hidden_size, cfg.v_hidden_size, wb)
+        c += matmul(B * Lv, cfg.v_hidden_size, cfg.v_target_size, wb)
+        c += matmul(B, cfg.bi_hidden_size, 2, wb)                  # seq relationship
+    return c
+
+
+def vilbert_train_cost(cfg, B: int, Lt: int, Lv: int, n_params_: int,
+                       wb: int = 2) -> Cost:
+    """Pretrain step floor: fwd + 2x-FLOPs backward (each weight re-read
+    for dx and its dW written once, f32) + adam moment traffic."""
+    fwd = vilbert_forward_cost(cfg, B, Lt, Lv, wb, compute_heads=True)
+    bwd = Cost(2.0 * fwd.flops, fwd.bytes + n_params_ * 4.0)
+    opt = Cost(12.0 * n_params_, 7.0 * n_params_ * 4)  # m/v/p read + m/v/p write + g read
+    return fwd + bwd + opt
+
+
 def roofline_summary(flops: float, min_bytes: float, measured_s: float,
                      platform: str) -> Dict[str, float]:
     out = {

@@ -113,7 +113,9 @@ def build_rounds(cfg, seed: int, pretrain_steps: int, tok, world, splits,
     sw = score_difficulty(scorer, params, world, swapped, tok,
                           max_path_len=max_path, feat_dim=feat)
     diag["align_gap"] = float(np.mean(scores) - np.mean(sw))
-    diag["align_auc"] = float(np.mean(scores > sw))
+    # tie-aware AUC: a collapsed scorer emitting constants must read 0.5
+    # (chance), not 0 — ties count half
+    diag["align_auc"] = float(np.mean(scores > sw) + 0.5 * np.mean(scores == sw))
     if items and "difficulty" in items[0]:
         truth = np.array([it["difficulty"] for it in items])
         diag["pearson_vs_truth"] = float(np.corrcoef(path_scores, truth)[0, 1])

@@ -89,7 +89,7 @@ def main():
                 # hoist the loop-invariant argmax decode out of the scan
                 # (the bug in the first version of this arm, which
                 # measured 0.0 ms) nor overlap iterations.
-                rr = jax.random.fold_in(r, jnp.int32(carry) & 0x7FFF)
+                rr = jax.random.fold_in(r, jnp.int32(jnp.mod(carry, 32768.0)) & 0x7FFF)
                 feats = collect_shortest_path_features(tables, ep, spk.episode_len)
                 words, _ = spk.infer(p, feats, rr, sampling=True, feat_mask=mask)
                 return carry + jnp.sum(words).astype(jnp.float32), None

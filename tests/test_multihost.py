@@ -6,7 +6,6 @@ import os
 import socket
 import subprocess
 import sys
-import tempfile
 
 import numpy as np
 import pytest
@@ -18,11 +17,6 @@ OVERRIDES = [
     "TPU.SYNTHETIC_SCANS", "2",
     "TPU.SYNTHETIC_NODES", "24",
     "TPU.PRECISION", "f32",   # bf16 rounding can flip eval argmax between mesh layouts
-    # fresh per-run compile cache: reuse compiles across the suite's CLI
-    # subprocesses WITHOUT reading the repo-shared dir (entries written by
-    # other builder machine types load as mismatched AOT results — the
-    # round-3 judged segfault path)
-    "TPU.COMPILATION_CACHE", tempfile.mkdtemp(prefix="jaxcache_mh_"),
     "TRAIN.MAX_EPOCH", "1",
     "TRAIN.ITER_PER_EPOCH", "3",
     "TRAIN.BATCH_SIZE", "8",
@@ -34,6 +28,16 @@ OVERRIDES = [
 ]
 
 
+@pytest.fixture(scope="session")
+def mh_cache_dir(tmp_path_factory):
+    """Fresh per-run compile cache: reuse compiles across the suite's CLI
+    subprocesses WITHOUT reading the repo-shared dir (entries written by
+    other builder machine types load as mismatched AOT results — the
+    round-3 judged segfault path).  A fixture (not module-level mkdtemp)
+    so collection-only / skipped runs never litter /tmp."""
+    return str(tmp_path_factory.mktemp("jaxcache_mh"))
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -42,7 +46,7 @@ def _free_port():
     return port
 
 
-def _run_cli(tmp_path, tag, extra_env, devices_per_proc=2):
+def _run_cli(tmp_path, tag, extra_env, devices_per_proc=2, cache_dir=""):
     env = dict(os.environ)
     env.update({
         "JAX_PLATFORMS": "cpu",
@@ -58,6 +62,8 @@ def _run_cli(tmp_path, tag, extra_env, devices_per_proc=2):
         "OUTPUT.TSBOARD_DIR", str(out_dir / "tb"),
         "OUTPUT.LOG_DIR", str(out_dir / "logs"),
     ] + OVERRIDES
+    if cache_dir:
+        cmd += ["TPU.COMPILATION_CACHE", cache_dir]
     return subprocess.Popen(cmd, cwd=REPO, env=env,
                             stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
 
@@ -73,7 +79,7 @@ def _events(tmp_path, tag):
 
 
 @pytest.mark.parametrize("nproc", [2, 4])
-def test_multiprocess_cli_matches_single_process(tmp_path, nproc):
+def test_multiprocess_cli_matches_single_process(tmp_path, nproc, mh_cache_dir):
     """nproc CPU processes x 2 virtual devices = 2*nproc-way DP through the
     real CLI, with async checkpoint writes (TPU.CKPT_ASYNC) — metrics must
     match a single-process run and only process 0 may write checkpoints."""
@@ -100,7 +106,7 @@ def test_multiprocess_cli_matches_single_process(tmp_path, nproc):
                 # process; loop.py::parallel_warmup) — metrics must still
                 # match the warmup-less single-process run below
                 "VLN_WARMUP_FORCE": "1",
-            }))
+            }, cache_dir=mh_cache_dir))
         outs = [p.communicate(timeout=1800)[0].decode() for p in procs]
         if all(p.returncode == 0 for p in procs):
             break
@@ -108,7 +114,7 @@ def test_multiprocess_cli_matches_single_process(tmp_path, nproc):
         assert p.returncode == 0, out[-3000:]
 
     # --- single-process run, same seed ---
-    p1 = _run_cli(tmp_path, "sp", {}, devices_per_proc=2)
+    p1 = _run_cli(tmp_path, "sp", {}, devices_per_proc=2, cache_dir=mh_cache_dir)
     out1 = p1.communicate(timeout=1800)[0].decode()
     assert p1.returncode == 0, out1[-3000:]
 

@@ -226,7 +226,9 @@ def test_packed_spcl_trainer_smoke(synth_world, synth_dataset, tokenizer, tmp_pa
     cfg.TRAIN.MAX_EPOCH = 2
     cfg.TRAIN.ITER_PER_EPOCH = 2
     cfg.TRAIN.BATCH_SIZE = 8
-    cfg.TRAIN.EVAL_INTERVAL = 2
+    # no eval inside the smoke: the epoch-boundary SPCL weight update is
+    # what this test exercises; eval compiles are covered by test_trainer
+    cfg.TRAIN.EVAL_INTERVAL = 5
     cfg.AGENT.FEEDBACK = "sample"
     cfg.OUTPUT.CKPT_DIR = str(tmp_path / "ckpt")
     # 5 synthetic rounds: slice the expanded data

@@ -168,3 +168,38 @@ def test_heterogeneous_difficulty_generation():
     _, splits, _, _ = pipeline.build_synthetic_universe(cfg, seed=7)
     assert all("difficulty" in it for it in splits["train"])
     assert all("difficulty" not in it for it in splits["val_unseen"])
+
+
+def test_real_data_run_script(disk_universe):
+    """scripts/real_data_run.sh (VERDICT r4 item 8): asset validation
+    catches gaps (rc=2), passes with a complete asset set, and the
+    --dry-run grid prints all 9 Table-3 recipe commands without
+    launching anything."""
+    import subprocess
+
+    root, data_dir, conn_dir, tsv = disk_universe
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(repo, "scripts", "real_data_run.sh")
+
+    # gaps: default connectivity/ and img_features/ don't exist in-tree
+    r = subprocess.run([script, "check"], capture_output=True, text=True,
+                       env={**os.environ, "CONNECTIVITY_DIR": "connectivity",
+                            "IMG_FEAT": "img_features/none.tsv"})
+    assert r.returncode == 2, r.stdout + r.stderr
+    assert "MISSING" in r.stdout
+
+    # complete assets (fixture's connectivity + TSV): validation passes
+    env_ok = {**os.environ, "CONNECTIVITY_DIR": str(conn_dir), "IMG_FEAT": tsv}
+    r = subprocess.run([script, "check"], capture_output=True, text=True, env=env_ok)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "asset validation OK" in r.stdout
+
+    # dry-run: 9 recipes (3 models x {classic, naive, spcl}), no launches
+    r = subprocess.run([script, "table3", "--dry-run"], capture_output=True,
+                       text=True, env=env_ok)
+    assert r.returncode == 0, r.stdout + r.stderr
+    lines = [ln for ln in r.stdout.splitlines() if ln.startswith("DRYRUN:")]
+    assert len(lines) == 9
+    assert sum("TRAIN.CLMODE SELF-PACE" in ln for ln in lines) == 3
+    assert sum("TRAIN.CLMODE NAIVE" in ln for ln in lines) == 3
+    assert all("TPU.SYNTHETIC_WORLD False" in ln for ln in lines)

@@ -35,7 +35,7 @@ from ..models.speaker_model import (speaker_decoder_apply, speaker_decoder_init,
                                     speaker_encoder_apply, speaker_encoder_init)
 from ..utils.tokenizer import BOS_IDX, EOS_IDX, PAD_IDX, UNK_IDX
 from ..world.compiler import WorldTables
-from .common import gather_prev_action_feature
+from .common import cast_compute_params, gather_prev_action_feature
 
 
 class SpeakerFeatures(NamedTuple):
@@ -45,14 +45,21 @@ class SpeakerFeatures(NamedTuple):
 
 
 def collect_shortest_path_features(world: WorldTables, ep: EpisodeBatch,
-                                   episode_len: int) -> SpeakerFeatures:
+                                   episode_len: int,
+                                   compute_dtype=jnp.float32) -> SpeakerFeatures:
     """Teacher-forced rollout collecting per-step panoramas and chosen
-    candidate features (ref: speaker.py:191-226)."""
+    candidate features (ref: speaker.py:191-226).
+
+    ``compute_dtype=bfloat16`` keeps the [B, T, 36, F] pano stack in bf16
+    end to end: at production shapes that stack is ~700 MB in f32 and the
+    round-5 device trace showed it paid several times over (gather, layout
+    copy, feature dropout, view attention) — the f32 speaker step was
+    2.7x the EnvDrop train iteration for this reason (BASELINE.md)."""
     state = E.reset(world, ep)
 
     def step(carry, _):
         state = carry
-        obs = E.observe(world, state)
+        obs = E.observe(world, state, compute_dtype=compute_dtype)
         teacher = obs.teacher
         alive = jnp.logical_not(state.ended)
         is_move = (teacher >= 0) & (teacher < obs.n_cands)
@@ -101,12 +108,17 @@ def generated_to_instr_tokens(words: np.ndarray, enc_len: int):
 
 class Speaker:
     def __init__(self, spk_cfg, vocab_size: int, feat_dim: int = 2048,
-                 angle_feat_size: int = 128, episode_len: int = 35):
+                 angle_feat_size: int = 128, episode_len: int = 35,
+                 compute_dtype=jnp.float32):
         self.cfg = spk_cfg
         self.vocab_size = vocab_size
         self.feature_size = feat_dim + angle_feat_size
         self.angle_feat_size = angle_feat_size
         self.episode_len = episode_len
+        # bf16 compute / f32 masters, same contract as the agents
+        # (common.cast_compute_params): on TPU the f32 speaker step was
+        # bandwidth-bound on its [B,T,36,F] pano traffic (BASELINE.md r5)
+        self.compute_dtype = compute_dtype
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(40.0),  # (ref: speaker.py:85-86)
             optax.adam(self.cfg.LR),
@@ -126,9 +138,13 @@ class Speaker:
     # ------------------------------------------------------------------
     def _encode(self, params, feats: SpeakerFeatures, rng, train: bool,
                 feat_mask: Optional[jnp.ndarray] = None):
-        img, can = feats.img_feats, feats.can_feats
+        cdt = self.compute_dtype
+        params = cast_compute_params(params, cdt)
+        img = feats.img_feats.astype(cdt)
+        can = feats.can_feats.astype(cdt)
         if feat_mask is not None:  # shared drop-noise path (ref: speaker.py:318-324)
             a = self.angle_feat_size
+            feat_mask = feat_mask.astype(cdt)
             img = jnp.concatenate([img[..., :-a] * feat_mask, img[..., -a:]], -1)
             can = jnp.concatenate([can[..., :-a] * feat_mask, can[..., -a:]], -1)
         ctx = speaker_encoder_apply(
@@ -146,14 +162,18 @@ class Speaker:
         rng_e, rng_d = jax.random.split(rng)
         ctx, ctx_mask = self._encode(params, feats, rng_e, train)
         B = insts.shape[0]
+        # recurrent state stays f32 even in bf16 compute (ops/rnn.py
+        # accumulates gates in f32 — same contract as the agent decoders)
         h0 = jnp.zeros((B, self.cfg.RNN_DIM))
         c0 = jnp.zeros((B, self.cfg.RNN_DIM))
         logits, _, _ = speaker_decoder_apply(
-            params["decoder"], insts, ctx, ctx_mask, h0, c0, rng_d, train,
+            cast_compute_params(params["decoder"], self.compute_dtype),
+            insts, ctx, ctx_mask, h0, c0, rng_d, train,
             drop_rate=self.cfg.DROPOUT,
         )
         # align: predict word t+1 from position t; ignore <PAD>
-        logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+        # (softmax in f32 regardless of the compute dtype)
+        logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
         targets = insts[:, 1:]
         picked = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
         valid = targets != PAD_IDX
@@ -170,19 +190,21 @@ class Speaker:
         ctx, ctx_mask = self._encode(params, feats, rng_e, train, feat_mask=feat_mask)
         B = ctx.shape[0]
         H = self.cfg.RNN_DIM
-        h = jnp.zeros((B, H))
+        h = jnp.zeros((B, H))   # f32 recurrent state (ops/rnn f32 gates)
         c = jnp.zeros((B, H))
         word0 = jnp.full((B,), BOS_IDX, jnp.int32)
         ended0 = jnp.zeros((B,), bool)
+        dec = cast_compute_params(params["decoder"], self.compute_dtype)
 
         def step(carry, rng_t):
             h, c, word, ended = carry
             rng_d, rng_s = jax.random.split(rng_t)
             logits, h, c = speaker_decoder_apply(
-                params["decoder"], word[:, None], ctx, ctx_mask, h, c, rng_d, train,
+                dec, word[:, None], ctx, ctx_mask, h, c, rng_d, train,
                 drop_rate=self.cfg.DROPOUT,
             )
-            logits = logits[:, 0, :].at[:, UNK_IDX].set(NEG_INF)  # no <UNK> in infer
+            # sampling/argmax in f32 (bf16 logits quantize the categorical)
+            logits = logits[:, 0, :].astype(jnp.float32).at[:, UNK_IDX].set(NEG_INF)
             if sampling:
                 nxt = jax.random.categorical(rng_s, logits, axis=-1).astype(jnp.int32)
                 logp = jax.nn.log_softmax(logits, -1)
@@ -203,7 +225,8 @@ class Speaker:
         """Teacher-forcing training (ref: speaker.py:75-88)."""
         @jax.jit
         def one_step(world, params, opt_state, ep, rng):
-            feats = collect_shortest_path_features(world, ep, self.episode_len)
+            feats = collect_shortest_path_features(world, ep, self.episode_len,
+                                                   self.compute_dtype)
 
             def loss_fn(p):
                 return self.teacher_forcing_loss(p, feats, ep.instr_tokens, rng, train=True)
@@ -252,7 +275,8 @@ class Speaker:
                 ep = next(it)
             except StopIteration:
                 break
-            feats = collect_shortest_path_features(world, ep, self.episode_len)
+            feats = collect_shortest_path_features(world, ep, self.episode_len,
+                                                   self.compute_dtype)
             rng, r1, r2 = jax.random.split(rng, 3)
             losses.append(float(self.teacher_forcing_loss(
                 params, feats, ep.instr_tokens, r1, train=False)))
@@ -260,7 +284,8 @@ class Speaker:
             B = ep.instr_tokens.shape[0]
             h0 = jnp.zeros((B, self.cfg.RNN_DIM))
             logits, _, _ = speaker_decoder_apply(
-                params["decoder"], ep.instr_tokens, ctx, ctx_mask, h0, h0,
+                cast_compute_params(params["decoder"], self.compute_dtype),
+                ep.instr_tokens, ctx, ctx_mask, h0, h0,
                 jax.random.fold_in(rng, 3), train=False, drop_rate=self.cfg.DROPOUT)
             predict = np.asarray(jnp.argmax(logits, axis=-1))
             insts = np.asarray(ep.instr_tokens)
@@ -285,7 +310,8 @@ class Speaker:
         key = ("infer_batch", sampling, masked)
         if key not in self._jits:
             def fn(world, params, ep, rng, mask):
-                feats = collect_shortest_path_features(world, ep, self.episode_len)
+                feats = collect_shortest_path_features(world, ep, self.episode_len,
+                                                       self.compute_dtype)
                 words, _ = self.infer(params, feats, rng, sampling=sampling,
                                       feat_mask=mask if masked else None)
                 return words

@@ -71,9 +71,13 @@ def run_beam_eval(cfg, agent, world, valid_env, tok, beam_size: int,
         logger.warning("beam eval: OUTPUT.RESUME is empty — using freshly "
                        "initialized agent weights")
 
+    import jax.numpy as jnp
+
     speaker = Speaker(cfg.AIDE.SPEAKER, tok.vocab_size(),
                       feat_dim=tables.feat_dim,
-                      episode_len=cfg.AGENT.MAX_EPISODE_LEN)
+                      episode_len=cfg.AGENT.MAX_EPISODE_LEN,
+                      compute_dtype=jnp.bfloat16
+                      if cfg.TPU.PRECISION == "bf16" else jnp.float32)
     spk_params, _ = speaker.init(jax.random.fold_in(rng, 1))
     if cfg.AIDE.SPEAKER.RESUME:
         logger.info("beam eval: loading speaker checkpoint %s",

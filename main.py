@@ -82,8 +82,12 @@ def main(args, cfg):
 
         assert cfg.MODEL.NAME == "ENVDROP", "back-translation is an EnvDrop stage"
         agent = build_agent(cfg, tok.vocab_size(), feat_dim, vocab=tok.vocab)
+        import jax.numpy as jnp
+
         speaker = Speaker(cfg.AIDE.SPEAKER, tok.vocab_size(), feat_dim=feat_dim,
-                          episode_len=cfg.AGENT.MAX_EPISODE_LEN)
+                          episode_len=cfg.AGENT.MAX_EPISODE_LEN,
+                          compute_dtype=jnp.bfloat16
+                          if cfg.TPU.PRECISION == "bf16" else jnp.float32)
         aug_env = train_env if not isinstance(train_env, dict) else train_env["round_5"]
         base_env = aug_env
         engine.self_train(cfg, agent, speaker, base_env, aug_env,

@@ -73,6 +73,40 @@ def build(args):
     params, _ = agent.init(jax.random.PRNGKey(0))
     ep = henv.next_batch()
 
+    if args.speaker:
+        # Trace the speaker teacher-forcing train step (the 25 ms program —
+        # 2.7x the EnvDrop train iteration, VERDICT r4 weak #3): collect
+        # [B,T,36,F] shortest-path features + encoder + decoder + grads +
+        # Adam, at the perf_selftrain.py production shapes.
+        from curriculum_learning_for_vln_tpu.agents.speaker import (
+            Speaker, collect_shortest_path_features)
+
+        s = cfg.AIDE.SPEAKER
+        s.RNN_DIM, s.WEMB, s.MAX_DECODE = 512, 256, 80
+        spk = Speaker(s, tok.vocab_size(), feat_dim=2048,
+                      episode_len=agent.episode_len)
+        spk_params, spk_opt = spk.init(jax.random.PRNGKey(0))
+
+        def spk_iter(carry, rng):
+            p, o = carry
+            feats = collect_shortest_path_features(tables, ep, spk.episode_len)
+
+            def loss_fn(pp):
+                return spk.teacher_forcing_loss(pp, feats, ep.instr_tokens,
+                                                rng, train=True)
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, o = spk.optimizer.update(grads, o, p)
+            return (optax.apply_updates(p, updates), o), loss
+
+        @jax.jit
+        def many_spk(params_, opt_state_, rng):
+            (_, _), losses = jax.lax.scan(spk_iter, (params_, opt_state_),
+                                          jax.random.split(rng, args.iters))
+            return losses[-1]
+
+        return many_spk, spk_params, spk_opt
+
     if args.eval:
         # Trace the bench headline instead: the pure eval rollout (argmax
         # feedback, no grads) — same program bench.py times (bench.py
@@ -177,6 +211,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/vln_trace")
     ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--speaker", action="store_true",
+                    help="trace the speaker teacher-forcing train step "
+                         "(pretrain_speaker's hot program) instead of the "
+                         "EnvDrop train iteration")
     ap.add_argument("--eval", action="store_true",
                     help="trace the pure eval rollout (bench.py's headline "
                          "program: argmax feedback, no grads) instead of "

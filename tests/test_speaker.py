@@ -208,3 +208,40 @@ def test_speaker_encoder_pallas_backend_gradient_parity():
     assert rnn_ops._fused_fits(
         np.zeros((1, 1, 64)), np.zeros((64, 128), np.float32),
         np.zeros((32, 128), np.float32))
+
+
+def test_speaker_bf16_compute_parity(ctx, tokenizer):
+    """compute_dtype=bfloat16 (the TPU production path since round 5:
+    the f32 speaker step was bandwidth-bound on its [B,T,36,F] pano
+    traffic) matches the f32 loss within bf16 tolerance, trains without
+    touching the f32 masters' dtype, and back-translates valid tokens."""
+    world, tables, henv = ctx
+    cfg = get_cfg_defaults()
+    s = cfg.AIDE.SPEAKER
+    s.RNN_DIM, s.WEMB, s.MAX_DECODE, s.LR = 64, 32, 20, 1e-3
+    spk32 = Speaker(s, tokenizer.vocab_size(), feat_dim=FEAT_DIM, episode_len=EP_LEN)
+    spk16 = Speaker(s, tokenizer.vocab_size(), feat_dim=FEAT_DIM, episode_len=EP_LEN,
+                    compute_dtype=jnp.bfloat16)
+    params, opt_state = spk32.init(jax.random.PRNGKey(0))
+    ep = henv.next_batch()
+
+    f32 = collect_shortest_path_features(tables, ep, EP_LEN)
+    f16 = collect_shortest_path_features(tables, ep, EP_LEN, jnp.bfloat16)
+    assert f16.img_feats.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(f32.lengths), np.asarray(f16.lengths))
+
+    rng = jax.random.PRNGKey(3)
+    l32 = float(spk32.teacher_forcing_loss(params, f32, ep.instr_tokens, rng, train=False))
+    l16 = float(spk16.teacher_forcing_loss(params, f16, ep.instr_tokens, rng, train=False))
+    assert l16 == pytest.approx(l32, rel=0.05), (l32, l16)
+
+    # a bf16 train step leaves the f32 masters f32 and reduces the loss
+    p2, o2, losses = spk16.train_steps(params, opt_state, tables, henv,
+                                       jax.random.PRNGKey(4), iters=8)
+    assert all(l.dtype == jnp.float32 for l in jax.tree_util.tree_leaves(p2)
+               if jnp.issubdtype(l.dtype, jnp.floating))
+    assert losses[-1] < losses[0]
+
+    words = np.asarray(spk16.infer_batch(p2, tables, ep, jax.random.PRNGKey(5)))
+    assert words.shape == (ep.instr_tokens.shape[0], s.MAX_DECODE)
+    assert words.dtype == np.int32

@@ -324,24 +324,48 @@ class BeamSearch:
                 continue
             max_len = max(max(lengths), 1)
             num = len(result["paths"])
+            # Pad (paths, time) to static buckets so the rescoring program
+            # compiles ONCE per beam run instead of once per data-dependent
+            # (num, max_len) pair — through the relay every fresh shape is
+            # a server-side compile, and the per-episode shapes are almost
+            # all distinct.  Padded rows get length 1 (an all-masked ctx
+            # row NaNs the attention softmax) and are never read back;
+            # padded timesteps are masked by `lengths` inside the encoder.
+            P = max(beam_size, num)
+            T = -8 * (-max_len // 8)
             F = self.tables.feat_dim + 128
-            img = np.zeros((num, max_len, 36, F), np.float32)
-            can = np.zeros((num, max_len, F), np.float32)
+            img = np.zeros((P, T, 36, F), np.float32)
+            can = np.zeros((P, T, F), np.float32)
             for j, p in enumerate(result["paths"]):
                 for k, (f_t, c_t) in enumerate(p["visual_feature"]):
                     img[j, k] = f_t
                     can[j, k] = c_t
-            feats = SpeakerFeatures(jnp.asarray(img), jnp.asarray(can),
-                                    jnp.asarray(np.array(lengths, np.int32)))
-            insts = np.tile(result["instr_encoding"], (num, 1))
+            feats = SpeakerFeatures(
+                jnp.asarray(img), jnp.asarray(can),
+                jnp.asarray(np.array(lengths + [1] * (P - num), np.int32)))
+            insts = np.tile(result["instr_encoding"], (P, 1))
             seq_lengths = np.argmax(insts == EOS_IDX, axis=1)
-            per_word = np.asarray(speaker.teacher_forcing_loss(
-                spk_params, feats, jnp.asarray(insts), jax.random.PRNGKey(0),
-                train=False, for_listener=True))
+            per_word = np.asarray(self._rescore(speaker)(
+                spk_params, feats, jnp.asarray(insts)))
             for j, p in enumerate(result["paths"]):
                 p.pop("visual_feature")
                 p["speaker_scores"] = (-per_word[j])[: seq_lengths[j]]
         return results
+
+    def _rescore(self, speaker):
+        """Jitted teacher-forcing rescorer (shared across episodes; the
+        bucketed shapes above keep its compile count to a handful)."""
+        if not hasattr(self, "_rescore_fn"):
+            import functools
+
+            @functools.partial(jax.jit)
+            def fn(spk_params, feats, insts):
+                return speaker.teacher_forcing_loss(
+                    spk_params, feats, insts, jax.random.PRNGKey(0),
+                    train=False, for_listener=True)
+
+            self._rescore_fn = fn
+        return self._rescore_fn
 
     def beam_search(self, params, model_state, henv, data, speaker, spk_params,
                     beam_size: int = 30):

@@ -48,10 +48,18 @@ def soft_dot(
     Returns (h_tilde or weighted_context, attn): with a "linear_out" param
     the output is tanh(W [weighted; h]) (ref: units.py:120-122), else the
     raw weighted context (context_only mode)."""
-    target = dense(p["linear_in"], h)                       # [B, C]
+    # Keep both context contractions in the CONTEXT's dtype: the LSTM
+    # query h is f32 by design (ops/rnn f32 recurrent state), and an f32
+    # query against a bf16 context would promote the whole context to
+    # f32 — on the speaker's [B*T, 36, 2176] pano stack XLA materializes
+    # that as a full f32 copy of the ~700 MB tensor (measured 2.4 ms
+    # layout copy + 2x multiply_reduce traffic per iter, BASELINE.md r5).
+    # The softmax itself stays f32 for stability; the [B, L] weights are
+    # tiny either way.
+    target = dense(p["linear_in"], h).astype(context.dtype)  # [B, C]
     attn = jnp.einsum("blc,bc->bl", context, target)
-    attn = masked_softmax(attn, mask)
-    weighted = jnp.einsum("bl,blc->bc", attn, context)
+    attn = masked_softmax(attn.astype(jnp.float32), mask)
+    weighted = jnp.einsum("bl,blc->bc", attn.astype(context.dtype), context)
     if "linear_out" not in p:
         return weighted, attn
     h_tilde = jnp.tanh(dense(p["linear_out"], jnp.concatenate([weighted, h], axis=-1)))

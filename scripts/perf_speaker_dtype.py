@@ -50,6 +50,9 @@ def build_speaker(tok_size: int, cdt):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", default="")
+    ap.add_argument("--only", default="",
+                    help="measure just one arm (f32|bf16) — halves the "
+                         "relay compile bill when re-measuring after a fix")
     args = ap.parse_args()
 
     import jax
@@ -72,7 +75,10 @@ def main():
         "f32": build_speaker(henv.tok.vocab_size(), jnp.float32),
         "bf16": build_speaker(henv.tok.vocab_size(), jnp.bfloat16),
     }
-    params, opt_state = speakers["f32"].init(jax.random.PRNGKey(0))
+    if args.only:
+        speakers = {args.only: speakers[args.only]}
+    # masters are f32 for every arm; any Speaker builds the same pytree
+    params, opt_state = next(iter(speakers.values())).init(jax.random.PRNGKey(0))
 
     def make_train_many(spk, n):
         def one(carry, rng):
@@ -111,7 +117,8 @@ def main():
 
         return many
 
-    mask = speakers["f32"].make_drop_mask(jax.random.PRNGKey(7), FEAT_DIM)
+    mask = next(iter(speakers.values())).make_drop_mask(
+        jax.random.PRNGKey(7), FEAT_DIM)
     N1, N2 = 2, 8
     programs = {}
     for dt, spk in speakers.items():

@@ -83,13 +83,15 @@ def build(args):
 
         s = cfg.AIDE.SPEAKER
         s.RNN_DIM, s.WEMB, s.MAX_DECODE = 512, 256, 80
+        cdt = jnp.bfloat16 if args.bf16 else jnp.float32
         spk = Speaker(s, tok.vocab_size(), feat_dim=2048,
-                      episode_len=agent.episode_len)
+                      episode_len=agent.episode_len, compute_dtype=cdt)
         spk_params, spk_opt = spk.init(jax.random.PRNGKey(0))
 
         def spk_iter(carry, rng):
             p, o = carry
-            feats = collect_shortest_path_features(tables, ep, spk.episode_len)
+            feats = collect_shortest_path_features(tables, ep, spk.episode_len,
+                                                   spk.compute_dtype)
 
             def loss_fn(pp):
                 return spk.teacher_forcing_loss(pp, feats, ep.instr_tokens,
@@ -211,6 +213,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/vln_trace")
     ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--bf16", action="store_true",
+                    help="with --speaker: trace the bf16 compute path "
+                         "(cfg.TPU.PRECISION contract) instead of f32")
     ap.add_argument("--speaker", action="store_true",
                     help="trace the speaker teacher-forcing train step "
                          "(pretrain_speaker's hot program) instead of the "

@@ -30,14 +30,26 @@ import numpy as np
 logger = logging.getLogger("main.beam_eval")
 
 
-def _select_path(paths, speaker_weight: float):
+def _select_path(paths, speaker_weight: float, length_normalize: bool = False):
     """Rank candidate paths by (1-w)·Σ listener log-prob + w·Σ speaker
     log-prob.  ``speaker_scores`` are per-word log-probs (the stored
     negative teacher-forcing loss), ``listener_scores`` per-step action
-    log-probs."""
+    log-probs.
+
+    ``length_normalize`` divides the listener term by the number of
+    actions (mean per-step log-prob).  The raw sum penalizes every extra
+    step, so dijkstra's first-found (max-sum) path is the listener-max
+    selection at any beam width — selection degenerates to beam=1 and the
+    beam's diversity never matters (measured: identical SR across N ∈
+    {1,5,15,30} at w ≤ 0.7, BASELINE.md round 5).  The mean removes that
+    short-path bias.  The speaker term is left as the sum: every
+    candidate scores the SAME instruction, so its word count is a shared
+    constant and normalizing it only rescales w."""
 
     def score(p):
         lst = float(np.sum(p["listener_scores"]))
+        if length_normalize:
+            lst /= max(len(p["listener_scores"]), 1)
         spk = float(np.sum(p["speaker_scores"]))
         return (1.0 - speaker_weight) * lst + speaker_weight * spk
 
@@ -93,6 +105,7 @@ def run_beam_eval(cfg, agent, world, valid_env, tok, beam_size: int,
 
     beam = BeamSearch(agent, world, tables)
     w = float(cfg.TPU.BEAM_SPEAKER_WEIGHT)
+    len_norm = bool(cfg.TPU.BEAM_LEN_NORM)
     summaries = {}
     for split, henv in valid_env.items():
         out = beam.beam_search(params, model_state, henv, henv.data,
@@ -100,7 +113,7 @@ def run_beam_eval(cfg, agent, world, valid_env, tok, beam_size: int,
         selected, full = [], []
         for instr_id, r in out.items():
             if r["paths"]:
-                best = _select_path(r["paths"], w)
+                best = _select_path(r["paths"], w, len_norm)
                 traj = [[v, float(h), float(e)] for v, h, e in best["trajectory"]]
             else:  # expansion budget exhausted before any <end> state
                 traj = [[r["dijk_path"][0], 0.0, 0.0]]

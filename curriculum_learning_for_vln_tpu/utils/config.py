@@ -322,6 +322,9 @@ _C.TPU.FUSED_BPTT = False
 _C.TPU.CKPT_BACKEND = "pickle"             # "pickle" | "orbax" (TensorStore dirs, multi-host writes)
 _C.TPU.CKPT_ASYNC = False                  # overlap checkpoint writes with the next epoch
 _C.TPU.BEAM_SPEAKER_WEIGHT = 0.5           # --beam path ranking: w*speaker + (1-w)*listener log-prob
+_C.TPU.BEAM_LEN_NORM = True                # mean (not sum) listener log-prob in --beam ranking:
+                                           # the sum's short-path bias degenerates selection to the
+                                           # dijkstra-first path at any beam width (BASELINE.md r5)
 
 
 def get_cfg_defaults() -> CfgNode:

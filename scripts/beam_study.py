@@ -39,15 +39,23 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def train_artifacts(seed: int, epochs: int, speaker_iters: int, tmp: str):
+def train_artifacts(seed: int, epochs: int, speaker_iters: int, tmp: str,
+                    ckpt_dir: str = ""):
     """Train the EnvDrop listener + speaker this study scores with.
     Returns (cfg, world, valid_env, tok, agent, params, mstate,
-    speaker, spk_params, greedy_summary)."""
+    speaker, spk_params, greedy_summary).
+
+    With ``ckpt_dir`` set, trained weights + the greedy summary persist
+    there and a rerun (e.g. to re-select the beam under a new ranking
+    rule) skips the ~25 min training stage entirely — the world/env
+    rebuild is deterministic (fixed seed=2020)."""
     import jax
 
     from curriculum_learning_for_vln_tpu import engine, pipeline
     from curriculum_learning_for_vln_tpu.agents import build_agent
     from curriculum_learning_for_vln_tpu.agents.speaker import Speaker
+    from curriculum_learning_for_vln_tpu.engine.checkpoint import (
+        load_checkpoint, save_checkpoint)
     from curriculum_learning_for_vln_tpu.engine.evaluator import Evaluation
     from curriculum_learning_for_vln_tpu.engine.loop import run_eval
     from curriculum_learning_for_vln_tpu.engine.self_train import \
@@ -60,14 +68,32 @@ def train_artifacts(seed: int, epochs: int, speaker_iters: int, tmp: str):
     world, train_env, valid_env, feat_dim = pipeline.build_environments(
         cfg, tok, seed=2020)
     agent = build_agent(cfg, tok.vocab_size(), feat_dim)
+    speaker = Speaker(cfg.AIDE.SPEAKER, tok.vocab_size(), feat_dim=feat_dim,
+                      episode_len=cfg.AGENT.MAX_EPISODE_LEN)
+
+    agent_ckpt = spk_ckpt = meta_path = ""
+    if ckpt_dir:
+        os.makedirs(ckpt_dir, exist_ok=True)
+        agent_ckpt = os.path.join(ckpt_dir, f"agent_s{seed}.ckpt")
+        spk_ckpt = os.path.join(ckpt_dir, f"speaker_s{seed}.ckpt")
+        meta_path = os.path.join(ckpt_dir, f"meta_s{seed}.json")
+    if meta_path and all(os.path.exists(p)
+                         for p in (agent_ckpt, spk_ckpt, meta_path)):
+        bundle = load_checkpoint(agent_ckpt)
+        params, mstate = bundle["params"], bundle["model_state"]
+        spk_params, _, _ = speaker.load(spk_ckpt)
+        with open(meta_path) as f:
+            meta = json.load(f)
+        return (cfg, world, valid_env, tok, agent, params, mstate, speaker,
+                spk_params, meta["greedy"], meta["spk_loss0"],
+                meta["spk_loss1"])
+
     trainer = engine.ClassicTrainer()
     params, mstate, _ = trainer.train(cfg, agent, None, train_env, valid_env,
                                       seed=seed)
 
     tables = world.device_tables(cfg.TPU.PRECISION)
-    speaker = Speaker(cfg.AIDE.SPEAKER, tok.vocab_size(), feat_dim=feat_dim,
-                      episode_len=cfg.AGENT.MAX_EPISODE_LEN)
-    spk_params, _, spk_losses = pretrain_speaker(
+    spk_params, spk_opt, spk_losses = pretrain_speaker(
         cfg, speaker, tables, train_env, jax.random.PRNGKey(seed + 7),
         speaker_iters)
 
@@ -75,6 +101,13 @@ def train_artifacts(seed: int, epochs: int, speaker_iters: int, tmp: str):
     results = run_eval(agent, params, mstate, tables, env,
                        jax.random.PRNGKey(123))
     greedy, _ = Evaluation(world, dedup_by_path(env.data)).score(results)
+    if meta_path:
+        save_checkpoint(agent_ckpt, params, model_state=mstate)
+        speaker.save(spk_ckpt, spk_params, spk_opt)
+        with open(meta_path, "w") as f:
+            json.dump({"greedy": {k: float(v) for k, v in greedy.items()},
+                       "spk_loss0": float(spk_losses[0]),
+                       "spk_loss1": float(spk_losses[-1])}, f)
     return (cfg, world, valid_env, tok, agent, params, mstate, speaker,
             spk_params, greedy, float(spk_losses[0]), float(spk_losses[-1]))
 
@@ -98,17 +131,18 @@ def beam_arm(cfg, world, valid_env, agent, params, mstate, speaker,
     evaluator = Evaluation(world, dedup_by_path(henv.data))
     by_weight = {}
     for w in weights:
-        selected = []
-        for instr_id, r in out.items():
-            if r["paths"]:
-                best = _select_path(r["paths"], w)
-                traj = [[v, float(h), float(e)]
-                        for v, h, e in best["trajectory"]]
-            else:
-                traj = [[r["dijk_path"][0], 0.0, 0.0]]
-            selected.append({"instr_id": instr_id, "trajectory": traj})
-        summary, _ = evaluator.score(selected)
-        by_weight[w] = summary
+        for ln in (False, True):
+            selected = []
+            for instr_id, r in out.items():
+                if r["paths"]:
+                    best = _select_path(r["paths"], w, length_normalize=ln)
+                    traj = [[v, float(h), float(e)]
+                            for v, h, e in best["trajectory"]]
+                else:
+                    traj = [[r["dijk_path"][0], 0.0, 0.0]]
+                selected.append({"instr_id": instr_id, "trajectory": traj})
+            summary, _ = evaluator.score(selected)
+            by_weight[(w, ln)] = summary
     n_paths = [len(r["paths"]) for r in out.values()]
     stats = {"episodes": len(out),
              "mean_paths": float(sum(n_paths)) / max(len(n_paths), 1),
@@ -124,6 +158,9 @@ def main():
     ap.add_argument("--beams", default="1,5,15,30")
     ap.add_argument("--weights", default="0,0.3,0.5,0.7,0.95")
     ap.add_argument("--out", default="")
+    ap.add_argument("--ckpt-dir", default="",
+                    help="persist/reuse the trained listener+speaker here "
+                         "(rerunning a new selection rule skips training)")
     args = ap.parse_args()
 
     import tempfile
@@ -141,7 +178,8 @@ def main():
         t0 = time.time()
         (cfg, world, valid_env, tok, agent, params, mstate, speaker,
          spk_params, greedy, l0, l1) = train_artifacts(
-            1000 + args.seed, args.epochs, args.speaker_iters, tmp)
+            1000 + args.seed, args.epochs, args.speaker_iters, tmp,
+            ckpt_dir=args.ckpt_dir)
         emit({"stage": "greedy", "seed": args.seed,
               "sr": float(greedy["success_rate"]),
               "spl": float(greedy["spl"]),
@@ -155,9 +193,10 @@ def main():
                 spk_params, n, weights)
             row = {"stage": "beam", "seed": args.seed, "beam": n,
                    "wall_s": round(wall, 2), **stats}
-            for w, s in by_weight.items():
-                row[f"sr_w{w}"] = round(float(s["success_rate"]), 4)
-                row[f"spl_w{w}"] = round(float(s["spl"]), 4)
+            for (w, ln), s in by_weight.items():
+                suffix = f"ln_w{w}" if ln else f"_w{w}"
+                row["sr" + suffix] = round(float(s["success_rate"]), 4)
+                row["spl" + suffix] = round(float(s["spl"]), 4)
             emit(row)
 
 

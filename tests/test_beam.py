@@ -240,8 +240,12 @@ def test_beam_search_beats_greedy_on_trained_checkpoint():
     point of the reference's latent beam machinery (ref: base.py:399-464,
     the speaker-follower pragmatic-rescoring recipe).  Trains the
     packed-study EnvDrop recipe on the grounded world, pretrains a
-    speaker, then compares val_unseen SR (study: scripts/beam_study.py;
-    5-seed table in BASELINE.md round 5)."""
+    speaker, then compares val_unseen SR under the best selection rule
+    (study + selection-rule postmortem: scripts/beam_study.py and
+    BASELINE.md round 5 — the raw sum rule is degenerate: the max-sum
+    path is dijkstra's first-found path, so it wins every selection and
+    beam=N collapses to beam=1; the length-normalized listener term
+    restores beam diversity)."""
     import importlib.util
     import tempfile
 

@@ -347,6 +347,11 @@ def bench_device(world, henv, tok):
     rollout_compile_s = time.time() - t0
     log(f"overlapped first-execution compiles: {len(thunks)} programs in "
         f"{rollout_compile_s:.1f}s ({len(werrs)} failures)")
+    for e in werrs:
+        # warmup failures are usually transient relay contention — the
+        # measurement phases retry — but name them so a real compile
+        # error is diagnosable from the driver log
+        log(f"  warmup failure: {type(e).__name__}: {str(e)[:200]}")
 
     t_rtt = _timed_fetch(trivial, jnp.ones((8,), jnp.float32))
     log(f"dispatch+fetch baseline: {t_rtt*1000:.1f} ms")

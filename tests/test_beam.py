@@ -16,6 +16,31 @@ from curriculum_learning_for_vln_tpu.utils.floyd import FloydGraph
 FEAT_DIM = 64
 
 
+def test_select_path_length_normalization():
+    """The raw sum rule is degenerate: any longer path accumulates more
+    negative log-prob, so the shortest (dijkstra-first, max-sum) path
+    wins regardless of per-step quality and the beam collapses to
+    beam=1 (BASELINE.md round 5).  ``length_normalize=True`` ranks by
+    mean per-step log-prob instead, so a longer path of confident steps
+    beats a short hesitant one.  The speaker term is a shared-length sum
+    either way (all candidates score the same instruction)."""
+    from curriculum_learning_for_vln_tpu.engine.beam_eval import _select_path
+
+    # the sum-optimum the dijkstra search emits first: fewest steps
+    short_optimal = {"name": "short", "listener_scores": [-0.3],
+                     "speaker_scores": [-0.5] * 4}
+    long_confident = {"name": "long",
+                      "listener_scores": [-0.1] * 6,  # sum -0.6, mean -0.1
+                      "speaker_scores": [-0.5] * 4}
+    paths = [short_optimal, long_confident]
+    assert _select_path(paths, 0.0)["name"] == "short"          # sum: -0.3 > -0.6
+    assert _select_path(paths, 0.0, True)["name"] == "long"     # mean: -0.1 > -0.3
+    # speaker weight still mixes in under normalization: a large speaker
+    # advantage for the short path flips the ln selection back
+    short_spoken = dict(short_optimal, speaker_scores=[-0.01] * 4)
+    assert _select_path([short_spoken, long_confident], 0.9, True)["name"] == "short"
+
+
 def test_floyd_graph():
     g = FloydGraph()
     g.add_edge("a", "b", 1.0)

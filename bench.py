@@ -74,6 +74,67 @@ def fail_json(reason: str):
     sys.exit(0)
 
 
+def pause_cpu_studies():
+    """SIGSTOP background CPU study jobs for the duration of the bench.
+
+    CLAUDE.md: 'Serialize TPU benchmarks against CPU-heavy jobs' — the
+    relay-safe inner-scan differencing still measures host wall-clock
+    between two fetches, and the host-loop baseline is a pure CPU timing,
+    so a concurrent parity-matrix/pytest run corrupts both (a measured
+    6x-inflated rl-only number).  The round-5 study queue
+    (scripts/cpu_queue_r5.sh) can be mid-run when the driver fires
+    bench.py at round end; rather than relying on the queue noticing,
+    the bench pauses it: SIGSTOP (never kill) the queue shells via their
+    pid files plus any process whose argv[0] is literally ``python``
+    running a known study entry point (bench.py itself can't match).
+    Everything stopped is SIGCONTed at exit via atexit — including the
+    fail_json early-exit path.
+    """
+    import atexit
+    import signal
+
+    stopped = []
+
+    def _stop(pid):
+        try:
+            os.kill(pid, 0)
+            os.kill(pid, signal.SIGSTOP)
+            stopped.append(pid)
+        except (OSError, ValueError):
+            pass
+
+    for f in ("/tmp/cpu_queue.pid", "/tmp/monitor_study.pid"):
+        try:
+            with open(f) as fh:
+                _stop(int(fh.read().strip()))
+        except (OSError, ValueError):
+            pass
+    names = ("parity_matrix.py", "clr2r_e2e.py", "packed_study.py",
+             "beam_study.py", "-m pytest")
+    try:
+        ps = subprocess.run(["ps", "-eo", "pid,args"], capture_output=True,
+                            text=True, timeout=20).stdout
+        for line in ps.splitlines()[1:]:
+            parts = line.split(None, 2)
+            if len(parts) == 3 and parts[1] == "python" and any(
+                    n in parts[2] for n in names):
+                _stop(int(parts[0]))
+    except Exception as e:
+        log(f"study-pause ps scan failed (continuing): {e}")
+    if stopped:
+        log(f"paused CPU study jobs for the bench: {stopped}")
+
+        def _resume():
+            for p in stopped:
+                try:
+                    os.kill(p, signal.SIGCONT)
+                except OSError:
+                    pass
+            log(f"resumed CPU study jobs: {stopped}")
+
+        atexit.register(_resume)
+
+
 def acquire_backend():
     """Patiently wait for the JAX backend before importing jax in-process.
 
@@ -512,6 +573,9 @@ def bench_host_baseline(world, graphs, henv):
 
 def main():
     acquire_backend()
+    # pause AFTER the (possibly hours-long) relay wait so the studies keep
+    # making progress until the chip is actually reachable
+    pause_cpu_studies()
     world, graphs, henv, tok = build_universe()
     try:
         baseline_sps = bench_host_baseline(world, graphs, henv)

@@ -22,8 +22,16 @@ run() {
 
 mkdir -p snapshots/logs
 
+# 0. Beam value study under the length-normalized selection rule (fills
+#    BASELINE.md's BEAM_LN_TABLE and regenerates the cited JSONL that was
+#    lost with the previous host).  --ckpt-dir makes a re-selection rerun
+#    skip the ~25 min training stage.
+run beam_study python scripts/beam_study.py --epochs 60 \
+  --ckpt-dir snapshots/beam_ckpt_r5 --out snapshots/beam_study_r5.jsonl
+
 # 1. 5-seed Self-Monitor matrix (schedule-complete: 120 epochs, 20-epoch
 #    naive rounds — the recipe behind BASELINE.md's p~0.007 ordering).
+#    Seed-outer order: every finished seed is a complete paired triple.
 run matrix_monitor python scripts/parity_matrix.py --models SELF-MONITOR \
   --seeds 5 --epochs 120 --switch-epoch 20 \
   --out snapshots/matrix_r5_monitor.jsonl

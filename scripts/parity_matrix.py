@@ -157,12 +157,15 @@ def main():
                 r = json.loads(line)
                 done[(r["model"], r["clmode"], r["seed"])] = r["sr"]
 
-    results = {}
+    # Seed-outer, clmode-inner: every completed seed yields a complete
+    # paired (classic, NAIVE, SELF-PACE) triple, so a budget-killed matrix
+    # still supports paired statistics on the seeds that finished (the
+    # round-4 host recycle ate an unpaired partial exactly this way).
+    by_cell = {k: [] for m in args.models.split(",") for k in [(m, c) for c in CURRICULA]}
     with tempfile.TemporaryDirectory() as tmp:
         for model in args.models.split(","):
-            for clmode in CURRICULA:
-                srs = []
-                for seed in range(args.seeds):
+            for seed in range(args.seeds):
+                for clmode in CURRICULA:
                     key = (model, clmode, seed)
                     if key in done:
                         sr = done[key]
@@ -175,8 +178,8 @@ def main():
                                                     "seed": seed, "sr": sr}) + "\n")
                     print(f"# {model} {clmode or 'classic':10s} seed{seed}: "
                           f"val_unseen SR={sr:.3f}", file=sys.stderr, flush=True)
-                    srs.append(sr)
-                results[(model, clmode)] = float(np.mean(srs))
+                    by_cell[(model, clmode)].append(sr)
+    results = {k: float(np.mean(v)) for k, v in by_cell.items()}
 
     print("| model | classic | naive-CL | SPCL |")
     print("|---|---|---|---|")

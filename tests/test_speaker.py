@@ -245,3 +245,63 @@ def test_speaker_bf16_compute_parity(ctx, tokenizer):
     words = np.asarray(spk16.infer_batch(p2, tables, ep, jax.random.PRNGKey(5)))
     assert words.shape == (ep.instr_tokens.shape[0], s.MAX_DECODE)
     assert words.dtype == np.int32
+
+
+def _iter_eqns(jaxpr):
+    """Yield every equation in ``jaxpr`` including scan/cond/pjit bodies.
+
+    Duck-typed (``.jaxpr`` = ClosedJaxpr, ``.eqns`` = Jaxpr) because the
+    concrete classes moved out of ``jax.core`` across jax versions."""
+
+    def subjaxprs(v):
+        if hasattr(v, "jaxpr"):  # ClosedJaxpr
+            return [v.jaxpr]
+        if hasattr(v, "eqns"):  # Jaxpr
+            return [v]
+        if isinstance(v, (list, tuple)):
+            return [j for item in v for j in subjaxprs(item)]
+        return []
+
+    for eqn in jaxpr.eqns:
+        yield eqn
+        for v in eqn.params.values():
+            for sub in subjaxprs(v):
+                yield from _iter_eqns(sub)
+
+
+def test_speaker_bf16_no_f32_pano_contraction(ctx, tokenizer):
+    """Regression guard for the round-5 soft_dot dtype fix (BASELINE.md:
+    "speaker compute dtype"): the f32 LSTM query used to promote BOTH
+    pano-context einsums to f32, and XLA materialized a full f32 copy of
+    the [B,T,36,F] stack — the difference between 22.4 and 17.8 ms/step
+    on chip.  The durable check (the device trace that first caught it
+    lived on a recycled host): in the bf16 teacher-forcing *gradient*
+    program, no dot_general may consume an f32 operand that carries the
+    36-view axis at rank>=3 — the big stack must stay bf16 through
+    forward AND backward; f32 is reserved for rank<=2 islands (recurrent
+    state, the [B, L] softmax, losses)."""
+    world, tables, henv = ctx
+    cfg = get_cfg_defaults()
+    s = cfg.AIDE.SPEAKER
+    s.RNN_DIM, s.WEMB, s.MAX_DECODE, s.LR = 64, 32, 20, 1e-3
+    spk16 = Speaker(s, tokenizer.vocab_size(), feat_dim=FEAT_DIM,
+                    episode_len=EP_LEN, compute_dtype=jnp.bfloat16)
+    params, _ = spk16.init(jax.random.PRNGKey(0))
+    ep = henv.next_batch()
+    feats = collect_shortest_path_features(tables, ep, EP_LEN, jnp.bfloat16)
+
+    def loss_fn(p):
+        return spk16.teacher_forcing_loss(p, feats, ep.instr_tokens,
+                                          jax.random.PRNGKey(3), train=True)
+
+    jaxpr = jax.make_jaxpr(jax.grad(loss_fn))(params)
+    offenders = []
+    for eqn in _iter_eqns(jaxpr.jaxpr):
+        if eqn.primitive.name != "dot_general":
+            continue
+        for var in eqn.invars:
+            aval = getattr(var, "aval", None)
+            if (aval is not None and getattr(aval, "ndim", 0) >= 3
+                    and aval.dtype == jnp.float32 and 36 in aval.shape):
+                offenders.append(str(eqn)[:160])
+    assert not offenders, offenders

@@ -230,12 +230,15 @@ def test_evaluator_batched_dtw_matches_per_item(synth_world, synth_dataset, toke
 def test_il_bucketing_loss_identical(synth_world, synth_dataset, tokenizer, model, feedback):
     """A bucketed teacher-forced scan (T = max_hops+1 rounded up) computes
     the exact same training update as the full-length scan — steps past
-    episode end are fully masked (ref early-exit: follower.py:168)."""
+    episode end are fully masked (ref early-exit: follower.py:168).
+    MAX_EPISODE_LEN 9 > il_len (max hops is 6 in the synth dataset, so
+    il_len <= 7) keeps the truncation-headroom assert biting while
+    halving the scan-length-dominated XLA-CPU compile."""
     data = expand_r2r_items(synth_dataset, tokenizer)
     henv = R2RBatchEnv(synth_world, data, batch_size=8, tokenizer=tokenizer, seed=6)
     tables = synth_world.device_tables()
     cfg = base_cfg(model)
-    cfg.AGENT.MAX_EPISODE_LEN = 12
+    cfg.AGENT.MAX_EPISODE_LEN = 9
     cfg.AGENT.FEEDBACK = feedback
     agent = build_agent(cfg, tokenizer.vocab_size(), FEAT_DIM)
     params, mstate = agent.init(jax.random.PRNGKey(0))
@@ -245,7 +248,7 @@ def test_il_bucketing_loss_identical(synth_world, synth_dataset, tokenizer, mode
 
     ep = henv.next_batch()
     il_len = henv.cur_batch_max_hops + 1
-    assert il_len < 12, "need truncation headroom for the test to bite"
+    assert il_len < 9, "need truncation headroom for the test to bite"
     rng = jax.random.PRNGKey(3)
     copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
 
@@ -260,15 +263,16 @@ def test_il_bucketing_loss_identical(synth_world, synth_dataset, tokenizer, mode
 @pytest.mark.parametrize("unroll", [2, 4])
 def test_scan_unroll_training_update_identical(synth_world, synth_dataset, tokenizer, unroll):
     """TPU.SCAN_UNROLL only changes how XLA lowers the rollout loop — the
-    training update must match the unroll=1 baseline (episode_len 12 is
-    deliberately not a multiple of 4: jax handles the remainder)."""
+    training update must match the unroll=1 baseline (episode_len 7 is
+    deliberately a multiple of neither 2 nor 4: jax handles the
+    remainder for both factors)."""
     from curriculum_learning_for_vln_tpu.agents import common as AC
 
     data = expand_r2r_items(synth_dataset, tokenizer)
     henv = R2RBatchEnv(synth_world, data, batch_size=8, tokenizer=tokenizer, seed=6)
     tables = synth_world.device_tables()
     cfg = base_cfg("ENVDROP")
-    cfg.AGENT.MAX_EPISODE_LEN = 12
+    cfg.AGENT.MAX_EPISODE_LEN = 7
     agent = build_agent(cfg, tokenizer.vocab_size(), FEAT_DIM)
     params, mstate = agent.init(jax.random.PRNGKey(0))
     opt = make_optimizer("sgd", 1e-2)
@@ -294,9 +298,14 @@ def test_scan_unroll_training_update_identical(synth_world, synth_dataset, token
 
 
 @pytest.mark.parametrize("model,fb,T", [
-    ("ENVDROP", "sample", 20),       # RL arm: untrained sampling fully ends < 20
-    ("SELF-MONITOR", "teacher", 14), # teacher forces stop at goal (~7 steps)
-    ("FOLLOWER", "teacher", 14),
+    # T leaves several genuinely-frozen steps while keeping the compile
+    # bill down (scan length dominates the 1-core XLA-CPU compile time):
+    # measured with this exact env/seed, sampled episodes are ALL dead
+    # from step 9 (alive counts 8,8,6,3,3,2,2,1,1,0,...), teacher-forced
+    # ones stop at the goal by step 7 (max hops 6 in the synth dataset).
+    ("ENVDROP", "sample", 13),       # 4 frozen steps exercised
+    ("SELF-MONITOR", "teacher", 10), # 3 frozen steps
+    ("FOLLOWER", "teacher", 10),
 ])
 def test_scan_early_exit_update_identical(synth_world, synth_dataset, tokenizer,
                                           model, fb, T):
@@ -353,7 +362,7 @@ def test_scan_early_exit_trajectories_identical(synth_world, synth_dataset, toke
     henv = R2RBatchEnv(synth_world, data, batch_size=8, tokenizer=tokenizer, seed=9)
     tables = synth_world.device_tables()
     cfg = base_cfg("FOLLOWER")
-    cfg.AGENT.MAX_EPISODE_LEN = 14
+    cfg.AGENT.MAX_EPISODE_LEN = 10
     agent = build_agent(cfg, tokenizer.vocab_size(), FEAT_DIM)
     params, mstate = agent.init(jax.random.PRNGKey(0))
     ep = henv.next_batch()
@@ -439,7 +448,9 @@ def test_parallel_warmup_compiles_all_variants(synth_world, synth_dataset,
     tables = synth_world.device_tables()
     cfg = base_cfg("ENVDROP")
     cfg.AGENT.FEEDBACK = "sample"
-    cfg.TPU.IL_BUCKETS = (8, 16)
+    # two buckets exercise the per-bucket variant compiles; small ones
+    # keep the warmed scans short (compile time ~ scan length on 1 core)
+    cfg.TPU.IL_BUCKETS = (4, 8)
     agent = build_agent(cfg, tokenizer.vocab_size(), FEAT_DIM)
     params, mstate = agent.init(jax.random.PRNGKey(0))
     opt = make_optimizer("sgd", 1e-2)

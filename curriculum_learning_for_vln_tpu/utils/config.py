@@ -321,10 +321,13 @@ _C.TPU.PROFILE_DIR = ""                    # capture a jax.profiler trace of epo
 _C.TPU.FUSED_BPTT = False
 _C.TPU.CKPT_BACKEND = "pickle"             # "pickle" | "orbax" (TensorStore dirs, multi-host writes)
 _C.TPU.CKPT_ASYNC = False                  # overlap checkpoint writes with the next epoch
-_C.TPU.BEAM_SPEAKER_WEIGHT = 0.5           # --beam path ranking: w*speaker + (1-w)*listener log-prob
-_C.TPU.BEAM_LEN_NORM = True                # mean (not sum) listener log-prob in --beam ranking:
-                                           # the sum's short-path bias degenerates selection to the
-                                           # dijkstra-first path at any beam width (BASELINE.md r5)
+_C.TPU.BEAM_SPEAKER_WEIGHT = 0.7           # --beam path ranking: w*speaker + (1-w)*listener log-prob.
+                                           # 0.7 is the measured sweep winner (BASELINE.md r5 beam
+                                           # study: SR ties greedy, SPL +2.4pt); at w=0 the sum rule
+                                           # degenerates to the dijkstra-first path at any width.
+_C.TPU.BEAM_LEN_NORM = False               # mean (not sum) listener log-prob in --beam ranking:
+                                           # restores w=0 beam diversity but measured a strictly
+                                           # weaker ranker at every w (BASELINE.md r5) — off.
 
 
 def get_cfg_defaults() -> CfgNode:

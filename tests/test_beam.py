@@ -267,10 +267,10 @@ def test_beam_search_beats_greedy_on_trained_checkpoint():
     packed-study EnvDrop recipe on the grounded world, pretrains a
     speaker, then compares val_unseen SR under the best selection rule
     (study + selection-rule postmortem: scripts/beam_study.py and
-    BASELINE.md round 5 — the raw sum rule is degenerate: the max-sum
-    path is dijkstra's first-found path, so it wins every selection and
-    beam=N collapses to beam=1; the length-normalized listener term
-    restores beam diversity)."""
+    BASELINE.md round 5 — at w=0 the sum rule is degenerate: the
+    max-sum path is dijkstra's first-found path, so it wins every
+    selection and beam=N collapses to beam=1; the SPEAKER term is what
+    un-degenerates selection, peaking at w=0.7)."""
     import importlib.util
     import tempfile
 
@@ -286,7 +286,7 @@ def test_beam_search_beats_greedy_on_trained_checkpoint():
             1000, epochs=80, speaker_iters=600, tmp=tmp)
         wall, by_weight, stats = bs.beam_arm(
             cfg, world, valid_env, agent, params, mstate, speaker,
-            spk_params, beam_size=15, weights=(0.0, 0.5, 0.95))
+            spk_params, beam_size=15, weights=(0.0, 0.3, 0.5, 0.7))
 
     greedy_sr = float(greedy["success_rate"])
     beam_sr = max(float(s["success_rate"]) for s in by_weight.values())

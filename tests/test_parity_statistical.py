@@ -56,13 +56,15 @@ def test_paper_orderings_on_grounded_world():
 @pytest.mark.skipif(not RUN, reason="slow; RUN_SLOW=1 enables")
 def test_monitor_curriculum_ordering():
     """Self-Monitor ordering at the schedule-complete budget (VERDICT r3
-    item 6, resolved round 4 at 5 seeds — BASELINE.md): classic beats
-    naive-CL on ALL 5 paired seeds (mean +0.080 ± 0.043, paired t=4.19,
-    p≈0.007) and SPCL is indistinguishable from classic (Δ 0.007 ±
-    0.055).  This held-out-seed re-run asserts the paired classic>naive
-    ordering (P(diff>0)≈0.97 under the fitted diff distribution, floor
-    -0.02 → ≈0.99) and SPCL non-collapse (observed worst paired deficit
-    0.058; floor 0.12 ≈ 2 sd of the paired diff)."""
+    item 6): the round-4 5-seed matrix found classic > naive (p≈0.007)
+    but the round-5 regeneration of the SAME recipe REVERSED it (naive
+    wins 4/5, +0.032, p=0.19 — BASELINE.md, snapshots/
+    matrix_r5_monitor.jsonl), so the only replicated facts are (a)
+    classic and naive-CL bracket each other inside the seed noise
+    (observed paired |diff| <= 0.125 across both matrices) and (b) SPCL
+    is indistinguishable from classic (paired Δ +0.007 r4 / +0.013 r5,
+    3/5 wins both times) and nothing collapses (all 30 runs in
+    0.35-0.54).  This held-out-seed re-run asserts exactly those."""
     pm = _load_matrix()
     epochs, seed, switch = 120, 2000, 20
     sr = {}
@@ -70,8 +72,9 @@ def test_monitor_curriculum_ordering():
         for clmode in ("", "NAIVE", "SELF-PACE"):
             sr[clmode] = pm.run_one("SELF-MONITOR", clmode, seed, epochs,
                                     tmp, switch_epoch=switch)
-    assert sr[""] > sr["NAIVE"] - 0.02, sr
+    assert abs(sr[""] - sr["NAIVE"]) <= 0.15, sr
     assert sr["SELF-PACE"] >= sr[""] - 0.12, sr
+    assert all(v >= 0.25 for v in sr.values()), sr
 
 
 @pytest.mark.skipif(not RUN, reason="slow; RUN_SLOW=1 enables")

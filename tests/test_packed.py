@@ -32,7 +32,11 @@ def envdrop_cfg():
     cfg.MODEL.ENVDROP.ML_WEIGHT = 0.2
     cfg.MODEL.ENVDROP.GAMMA = 0.9
     cfg.DATA.MAX_ENC_LEN = 24
-    cfg.AGENT.MAX_EPISODE_LEN = 12
+    # 9, not 12: sampled episodes under this env/seed are all dead by
+    # step 9 (see tests/test_knobs.py alive counts), truncation of the
+    # stragglers still exercises the packed truncation path, and scan
+    # length dominates the single-core XLA-CPU compile bill
+    cfg.AGENT.MAX_EPISODE_LEN = 9
     cfg.TPU.PRECISION = "f32"
     return cfg
 
@@ -155,24 +159,30 @@ def test_packed_early_exit_identical(setup):
     from curriculum_learning_for_vln_tpu.agents import common as AC
 
     henv, tables, agent, params, mstate = setup
-    # small pool (factor 2) + generous horizon so the exhausted-pool tail
-    # actually goes all-dead within the scan
+    # small pool (factor 2) + enough horizon that the exhausted-pool tail
+    # goes all-dead within the scan (asserted below — 22 steps suffice:
+    # 16 sampled episodes through 8 slots are drained well before that)
     raws = [henv.next_batch() for _ in range(2)]
     pool = concat_batches(raws)
     rng = jax.random.PRNGKey(17)
+    T = 22
 
     def loss_fn(p):
-        rl, _ = agent.rollout_packed(p, mstate, tables, pool, rng,
-                                     batch_size=8, episode_len=40)
-        return rl.rl_loss
+        rl, res = agent.rollout_packed(p, mstate, tables, pool, rng,
+                                       batch_size=8, episode_len=T)
+        return rl.rl_loss, res.steps.alive_before
 
     try:
+        # two distinct jit objects: the early-exit flag is read at trace
+        # time, so one shared callable would silently reuse the first trace
         AC.set_early_exit(False)
-        l0, g0 = jax.jit(jax.value_and_grad(loss_fn))(params)
+        (l0, alive), g0 = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))(params)
         AC.set_early_exit(True)
-        l1, g1 = jax.jit(jax.value_and_grad(loss_fn))(params)
+        (l1, _), g1 = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))(params)
     finally:
         AC.set_early_exit(False)
+    # the skipped-step equality only bites if some steps ARE all-dead
+    assert not np.asarray(alive)[-1].any(), "no all-dead tail: raise episode_len"
     assert np.allclose(float(l0), float(l1), atol=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=2e-4)
